@@ -1,0 +1,398 @@
+"""Core flax building blocks: attention (abs + relative-position), FFN, convolutions.
+
+Batch-first [B, T, C] layout throughout (the reference uses T-major fairseq layout;
+batch-first maps better onto XLA fusion and keeps the lane dimension contiguous).
+
+All attention modules take boolean ``allowed`` masks (True = may attend) and an
+optional functional KV cache so the same module serves offline (full-sequence) and
+incremental (chunk/token step) execution with identical numerics.
+
+Reference behaviours implemented here:
+- fairseq MultiheadAttention with additive streaming/chunk masks
+  (`researches/ctc_unity/modules/multihead_attention.py:451,711-733`)
+- espnet RelPositionMultiHeadedAttention with the rel-shift trick
+  (`researches/uni_unity/modules/espnet_multihead_attention.py:110-209`)
+- conformer FFN / convolution modules (`researches/chunk_unity/modules/conformer_layer.py`)
+- ChunkCausalConv1d (`researches/chunk_unity/modules/chunk_causal_conv1d.py:13-68`)
+  re-expressed as a masked-tap convolution: out[t] = sum_d w[d] * x[t*s - pad + d]
+  with taps masked beyond t's chunk boundary — identical output, no unfold, and each
+  tap is one MXU matmul (full conv) or one VPU FMA (depthwise).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e9  # large-negative instead of -inf: avoids NaN rows for fully-masked
+# queries (padding targets), matching torch softmax(-inf row) → NaN avoided by the
+# reference via padding-mask bookkeeping; we use -1e9 and rely on downstream masking.
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KVCache:
+    """Fixed-capacity KV buffer for incremental decoding (static shapes under jit).
+
+    k, v: [B, T_max, H, Dh]; index: scalar int32 = number of valid positions.
+    """
+
+    k: jnp.ndarray
+    v: jnp.ndarray
+    index: jnp.ndarray
+
+    @classmethod
+    def create(cls, batch: int, max_len: int, num_heads: int, head_dim: int,
+               dtype=jnp.float32) -> "KVCache":
+        return cls(
+            k=jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
+            v=jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
+            index=jnp.zeros((), jnp.int32),
+        )
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[1]
+
+    def truncate(self, new_len: jnp.ndarray) -> "KVCache":
+        """Prune the cache to ``new_len`` valid positions (whole-word KV truncation,
+        `agent/speech_to_speech.streamspeech.agent.py:554-574`). Buffers are kept;
+        only the index moves — stale entries are overwritten on the next append."""
+        return dataclasses.replace(self, index=jnp.minimum(self.index, new_len))
+
+
+def _append_kv(cache: KVCache, k_new: jnp.ndarray, v_new: jnp.ndarray
+               ) -> Tuple[KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Write S new positions at cache.index; returns (cache', k_all, v_all, valid[T_max])."""
+    s = k_new.shape[1]
+    k = jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype),
+                                     (0, cache.index, 0, 0))
+    v = jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype),
+                                     (0, cache.index, 0, 0))
+    new_index = cache.index + s
+    valid = jnp.arange(cache.max_len, dtype=jnp.int32) < new_index
+    return dataclasses.replace(cache, k=k, v=v, index=new_index), k, v, valid
+
+
+def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+            bias: Optional[jnp.ndarray], scale: float) -> jnp.ndarray:
+    """q [B,S,H,D], k/v [B,T,H,D], bias broadcastable to [B,H,S,T] → [B,S,H,D]."""
+    scores = jnp.einsum("bshd,bthd->bhst", q * scale, k,
+                        preferred_element_type=jnp.float32)
+    if bias is not None:
+        scores = scores + bias
+    probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhst,bthd->bshd", probs, v)
+
+
+def mask_to_bias(allowed: Optional[jnp.ndarray], key_valid: Optional[jnp.ndarray] = None
+                 ) -> Optional[jnp.ndarray]:
+    """allowed: bool broadcastable to [B,H,S,T] (e.g. [S,T] or [B,1,S,T]);
+    key_valid: [B,T] or [T] bool. Returns additive float32 bias or None."""
+    bias = None
+    if allowed is not None:
+        a = allowed
+        while a.ndim < 4:
+            a = a[None]
+        bias = jnp.where(a, 0.0, NEG_INF).astype(jnp.float32)
+    if key_valid is not None:
+        kv = key_valid
+        if kv.ndim == 1:
+            kv = kv[None]
+        b2 = jnp.where(kv[:, None, None, :], 0.0, NEG_INF).astype(jnp.float32)
+        bias = b2 if bias is None else bias + b2
+    return bias
+
+
+class MultiHeadAttention(nn.Module):
+    """fairseq-style MHA (abs positions handled outside). Self- or cross-attention."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    bias: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.embed_dim
+        self.q_proj = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(d, use_bias=self.bias, dtype=self.dtype,
+                                 name="out_proj")
+
+    def __call__(
+        self,
+        query: jnp.ndarray,               # [B, S, C]
+        key_value: Optional[jnp.ndarray] = None,  # [B, T, C]; None = self-attn
+        allowed: Optional[jnp.ndarray] = None,
+        key_valid: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        deterministic: bool = True,
+    ):
+        h = self.num_heads
+        dh = self.embed_dim // h
+        scale = dh ** -0.5
+        b, s, _ = query.shape
+        kv_in = query if key_value is None else key_value
+
+        q = self.q_proj(query).reshape(b, s, h, dh)
+
+        if cache is not None and key_value is None:
+            # incremental self-attention: append new K/V, attend over prefix
+            k_new = self.k_proj(kv_in).reshape(b, s, h, dh)
+            v_new = self.v_proj(kv_in).reshape(b, s, h, dh)
+            cache, k, v, valid = _append_kv(cache, k_new, v_new)
+            bias = mask_to_bias(allowed, valid)
+            out = _attend(q, k, v, bias, scale)
+        elif cache is not None:
+            # cached cross-attention: encoder K/V already in the cache (filled by
+            # caller via fill_cross_cache); attend over valid prefix.
+            valid = jnp.arange(cache.max_len, dtype=jnp.int32) < cache.index
+            bias = mask_to_bias(allowed, valid if key_valid is None else key_valid)
+            out = _attend(q, cache.k, cache.v, bias, scale)
+        else:
+            t = kv_in.shape[1]
+            k = self.k_proj(kv_in).reshape(b, t, h, dh)
+            v = self.v_proj(kv_in).reshape(b, t, h, dh)
+            bias = mask_to_bias(allowed, key_valid)
+            out = _attend(q, k, v, bias, scale)
+
+        out = self.out_proj(out.reshape(b, s, self.embed_dim))
+        if not deterministic and self.dropout > 0:
+            out = nn.Dropout(self.dropout, deterministic=False)(out)
+        return (out, cache) if cache is not None else (out, None)
+
+    def fill_cross_cache(self, key_value: jnp.ndarray, cache: KVCache) -> KVCache:
+        """Project encoder states once and append into a cross-attention cache."""
+        b, t, _ = key_value.shape
+        h, dh = self.num_heads, self.embed_dim // self.num_heads
+        k = self.k_proj(key_value).reshape(b, t, h, dh)
+        v = self.v_proj(key_value).reshape(b, t, h, dh)
+        cache, _, _, _ = _append_kv(cache, k, v)
+        return cache
+
+
+class RelPosMultiHeadAttention(nn.Module):
+    """espnet RelPositionMultiHeadedAttention (Transformer-XL style), batch-first.
+
+    ``pos_emb``: [R, C] relative-position table covering r = rmax ... rmin
+    (descending), where for offline self-attention R = 2T-1 and rmax = T-1.
+    For incremental use, pass ``q_offset`` = absolute position of the first query
+    and a table covering r = (q_offset + S - 1) ... (q_offset + S - 1 - (R-1)).
+    bd[i, j] is gathered at table index (rmax - (i_abs - j)).
+    """
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.embed_dim
+        self.q_proj = nn.Dense(d, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(d, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(d, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(d, dtype=self.dtype, name="out_proj")
+        self.linear_pos = nn.Dense(d, use_bias=False, dtype=self.dtype,
+                                   name="linear_pos")
+        h, dh = self.num_heads, d // self.num_heads
+        self.pos_bias_u = self.param("pos_bias_u", nn.initializers.xavier_uniform(),
+                                     (h, dh))
+        self.pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(),
+                                     (h, dh))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                   # [B, S, C] queries (and new keys)
+        pos_emb: jnp.ndarray,             # [R, C]
+        allowed: Optional[jnp.ndarray] = None,
+        key_valid: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        q_offset: int = 0,
+        deterministic: bool = True,
+    ):
+        h = self.num_heads
+        dh = self.embed_dim // h
+        scale = dh ** -0.5
+        b, s, _ = x.shape
+
+        q = self.q_proj(x).reshape(b, s, h, dh)
+        k_new = self.k_proj(x).reshape(b, s, h, dh)
+        v_new = self.v_proj(x).reshape(b, s, h, dh)
+
+        if cache is not None:
+            cache, k, v, valid = _append_kv(cache, k_new, v_new)
+            key_valid = valid if key_valid is None else key_valid
+        else:
+            k, v = k_new, v_new
+        t = k.shape[1]
+
+        p = self.linear_pos(pos_emb).reshape(-1, h, dh)  # [R, H, Dh]
+        r = p.shape[0]
+        rmax = q_offset + s - 1  # table index 0 ↔ relative position rmax
+
+        q_u = q + self.pos_bias_u[None, None]
+        q_v = q + self.pos_bias_v[None, None]
+
+        # content score (matrix a+c) and position score (matrix b+d)
+        ac = jnp.einsum("bshd,bthd->bhst", q_u, k,
+                        preferred_element_type=jnp.float32)
+        bd_full = jnp.einsum("bshd,rhd->bhsr", q_v, p,
+                             preferred_element_type=jnp.float32)
+        # gather: bd[i, j] = bd_full[i, rmax - (q_offset + i - j)]
+        i_idx = jnp.arange(s, dtype=jnp.int32)[:, None]
+        j_idx = jnp.arange(t, dtype=jnp.int32)[None, :]
+        u = rmax - (q_offset + i_idx - j_idx)
+        u = jnp.clip(u, 0, r - 1)
+        bd = jnp.take_along_axis(bd_full, u[None, None].repeat(h, 1), axis=-1)
+
+        scores = (ac + bd) * scale
+        bias = mask_to_bias(allowed, key_valid)
+        if bias is not None:
+            scores = scores + bias
+        probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+        if not deterministic and self.dropout > 0:
+            probs = nn.Dropout(self.dropout, deterministic=False)(probs)
+        out = jnp.einsum("bhst,bthd->bshd", probs, v)
+        out = self.out_proj(out.reshape(b, s, self.embed_dim))
+        return (out, cache) if cache is not None else (out, None)
+
+
+class FeedForward(nn.Module):
+    """Conformer macaron FFN: LN → W1 → swish → drop → W2 → drop
+    (`conformer_layer.py:121-161`)."""
+
+    embed_dim: int
+    ffn_dim: int
+    dropout: float = 0.0
+    activation: str = "swish"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = jax.nn.silu if self.activation == "swish" else jax.nn.relu
+        x = nn.LayerNorm(name="layer_norm", dtype=self.dtype)(x)
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w_1")(x)
+        x = act(x)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="w_2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+# ---------------------------------------------------------------------------
+# Chunk-causal convolution
+# ---------------------------------------------------------------------------
+
+
+def chunk_tap_allowed(t_out: int, kernel_size: int, stride: int,
+                      chunk_size: Optional[int]) -> jnp.ndarray:
+    """[t_out, kernel_size] bool: tap d of output t reads input u = t*s - pad + d;
+    allowed iff u < (t*s // chunk + 1) * chunk (plus bounds handled by zero-pad).
+    chunk_size None/>=999 → all taps allowed (symmetric same-pad conv, the
+    reference's non-chunked branch)."""
+    pad = kernel_size // 2
+    if chunk_size is None or chunk_size >= 999:
+        return jnp.ones((t_out, kernel_size), dtype=bool)
+    tpos = jnp.arange(t_out, dtype=jnp.int32)[:, None] * stride
+    u = tpos - pad + jnp.arange(kernel_size, dtype=jnp.int32)[None, :]
+    chunk_end = (tpos // chunk_size + 1) * chunk_size
+    return u < chunk_end
+
+
+def chunk_causal_conv1d(
+    x: jnp.ndarray,            # [B, T, Cin]
+    weight: jnp.ndarray,       # [K, Cin, Cout] (full) or [K, C] (depthwise)
+    bias: Optional[jnp.ndarray],
+    stride: int,
+    chunk_size: Optional[int],
+    depthwise: bool = False,
+) -> jnp.ndarray:
+    """Masked-tap formulation of ChunkCausalConv1d (`chunk_causal_conv1d.py:39-68`).
+
+    Output length = floor((T + 2*pad - K)/stride) + 1 (same as the reference).
+    Each tap d contributes x[t*s - pad + d] @ W[d], masked where the tap would
+    cross t's chunk boundary. Taps are static python-loop unrolled: K matmuls on
+    the MXU (full conv) or K fused FMAs on the VPU (depthwise).
+    """
+    b, t_in, cin = x.shape
+    k = weight.shape[0]
+    pad = k // 2
+    t_out = (t_in + 2 * pad - k) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (0, 0)))
+    allowed = chunk_tap_allowed(t_out, k, stride, chunk_size)
+
+    out = None
+    base = jnp.arange(t_out, dtype=jnp.int32) * stride
+    for d in range(k):
+        xd = jax.lax.dynamic_slice_in_dim(xp, d, (t_out - 1) * stride + 1, axis=1)
+        if stride > 1:
+            xd = xd[:, ::stride]
+        xd = xd * allowed[None, :, d:d + 1].astype(xd.dtype)
+        contrib = xd * weight[d][None, None, :] if depthwise else xd @ weight[d]
+        out = contrib if out is None else out + contrib
+    del base
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class ChunkCausalConv(nn.Module):
+    """flax wrapper holding the conv parameters in reference layout."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: int
+    stride: int = 1
+    use_bias: bool = True
+    depthwise: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, chunk_size: Optional[int]):
+        if self.depthwise:
+            assert self.in_channels == self.out_channels
+            w = self.param("weight", nn.initializers.lecun_normal(),
+                           (self.kernel_size, self.in_channels))
+        else:
+            w = self.param("weight", nn.initializers.lecun_normal(),
+                           (self.kernel_size, self.in_channels, self.out_channels))
+        b = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
+             if self.use_bias else None)
+        return chunk_causal_conv1d(x, w.astype(self.dtype),
+                                   None if b is None else b.astype(self.dtype),
+                                   self.stride, chunk_size, self.depthwise)
+
+
+class ConvolutionModule(nn.Module):
+    """Conformer convolution module (`conformer_layer.py:23-118`):
+    LN → pointwise(2C) → GLU → chunk-causal depthwise(k=31) → BatchNorm → swish →
+    pointwise(C) → dropout. BatchNorm uses running stats in eval mode, which is what
+    makes incremental chunk processing exact (SURVEY.md §7 hard-parts)."""
+
+    embed_dim: int
+    depthwise_kernel_size: int = 31
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, chunk_size: Optional[int], deterministic: bool = True,
+                 use_running_stats: bool = True):
+        c = self.embed_dim
+        x = nn.LayerNorm(name="layer_norm", dtype=self.dtype)(x)
+        x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                     name="pointwise_conv1")(x)
+        a, g = jnp.split(x, 2, axis=-1)
+        x = a * jax.nn.sigmoid(g)  # GLU over channel dim
+        x = ChunkCausalConv(c, c, self.depthwise_kernel_size, stride=1,
+                            use_bias=False, depthwise=True, dtype=self.dtype,
+                            name="depthwise_conv")(x, chunk_size)
+        x = nn.BatchNorm(use_running_average=use_running_stats, momentum=0.9,
+                         epsilon=1e-5, dtype=self.dtype, name="batch_norm")(x)
+        x = jax.nn.silu(x)
+        x = nn.Dense(c, use_bias=False, dtype=self.dtype, name="pointwise_conv2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)

@@ -1,0 +1,154 @@
+"""StreamSpeech model assembly (two-pass S2UT with CTC-guided streaming).
+
+Behavioral reference: `researches/ctc_unity/models/streamspeech_model.py:57-430`.
+
+Forward (training):
+  fbank → chunk Conformer encoder → {ASR CTC head, ST CTC head} → CTC-derived
+  streaming mask (stop-gradient) → MT decoder (cross-attn restricted by the mask)
+  → T2U encoder (causal) → ×upsample NAR unit-CTC decoder (wait-k cross mask).
+
+Aux-head blank conventions (checked against the reference):
+- unit CTC: blank = last index ("<blank>" appended by the task,
+  `researches/ctc_unity/tasks/speech_to_speech_ctc.py:14-19`);
+- ASR/ST CTC heads: blank = index 0 — fairseq's CtcCriterion defaults to blank 0
+  when the task has no blank_symbol (`fairseq/fairseq/criterions/ctc.py`), and the
+  streaming-mask computation reads probs[..., 0] as blank
+  (`streamspeech_model.py:288-341`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from streamspeech_tpu.config import StreamSpeechConfig
+from streamspeech_tpu.models.conformer import ChunkConformerEncoder
+from streamspeech_tpu.models.transformer import (
+    CTCHead,
+    CTCTransformerUnitDecoder,
+    TransformerDecoder,
+    UniTransformerEncoder,
+    PAD,
+)
+from streamspeech_tpu.ops.masks import lengths_to_mask, streaming_allowed_from_ctc
+
+
+def ctc_not_blank_probs(logits: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
+    """P(new token emitted at frame t) = 1 - P(blank) - P(repeat of previous frame),
+    reference `streamspeech_model.py:288-314`. Returns stop-gradient'd [B, T]."""
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    nonblank = jnp.concatenate([probs[:, :, :blank], probs[:, :, blank + 1:]], axis=-1)
+    prev = jnp.pad(nonblank[:, :-1], ((0, 0), (1, 0), (0, 0)))
+    repeat = jnp.sum(prev * nonblank, axis=-1)
+    blank_p = probs[:, :, blank]
+    return jax.lax.stop_gradient(1.0 - (repeat + blank_p))
+
+
+class StreamSpeechModel(nn.Module):
+    cfg: StreamSpeechConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = ChunkConformerEncoder(c.encoder, dtype=self.dtype,
+                                             name="encoder")
+        self.source_unigram_head = CTCHead(c.source_unigram_vocab, dtype=self.dtype,
+                                           name="source_unigram_head")
+        self.ctc_target_unigram_head = CTCHead(c.ctc_target_unigram_vocab,
+                                               dtype=self.dtype,
+                                               name="ctc_target_unigram_head")
+        self.mt_decoder = TransformerDecoder(c.mt_decoder, dtype=self.dtype,
+                                             name="mt_decoder")
+        self.synthesizer_encoder = (
+            UniTransformerEncoder(
+                c.mt_decoder.embed_dim, c.mt_decoder.ffn_embed_dim,
+                c.mt_decoder.attention_heads, c.synthesizer_encoder_layers,
+                c.mt_decoder.dropout, unidirectional=True, dtype=self.dtype,
+                name="synthesizer_encoder")
+            if c.synthesizer_encoder_layers > 0 else None)
+        self.unit_decoder = CTCTransformerUnitDecoder(c.unit_decoder,
+                                                      dtype=self.dtype,
+                                                      name="unit_decoder")
+
+    def encode(self, src_tokens, src_lengths, chunk_size=None, conv_chunk_size=None,
+               deterministic=True, use_running_stats=True):
+        return self.encoder(src_tokens, src_lengths, chunk_size, conv_chunk_size,
+                            deterministic, use_running_stats)
+
+    def __call__(
+        self,
+        src_tokens: jnp.ndarray,          # [B, T, 80]
+        src_lengths: jnp.ndarray,         # [B]
+        prev_output_tokens_mt: jnp.ndarray,  # [B, S]
+        chunk_size: Optional[int] = 8,
+        conv_chunk_size: Optional[int] = 8,
+        k1: int = 0,
+        n1: int = 1,
+        k2: int = 0,
+        n2: Optional[int] = None,
+        streaming: bool = True,
+        deterministic: bool = True,
+        use_running_stats: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        c = self.cfg
+        enc, enc_lengths = self.encoder(src_tokens, src_lengths, chunk_size,
+                                        conv_chunk_size, deterministic,
+                                        use_running_stats)
+        t_enc = enc.shape[1]
+        enc_valid = lengths_to_mask(enc_lengths, t_enc)
+
+        asr_logits = self.source_unigram_head(enc)
+        st_logits = self.ctc_target_unigram_head(enc)
+
+        allowed_cross = None
+        if streaming:
+            asr_nb = ctc_not_blank_probs(asr_logits, blank=0)
+            st_nb = ctc_not_blank_probs(st_logits, blank=0)
+            eff_chunk = (chunk_size if chunk_size is not None and chunk_size < 999
+                         else None)
+            allowed_cross = streaming_allowed_from_ctc(
+                asr_nb, st_nb, prev_output_tokens_mt.shape[1],
+                src_wait=k1, src_step=n1, tgt_step=n1, chunk_size=eff_chunk)
+
+        mt_logits, mt_feats = self.mt_decoder(prev_output_tokens_mt, enc, enc_valid,
+                                              allowed_cross, deterministic)
+        mt_valid = prev_output_tokens_mt != PAD
+
+        if self.synthesizer_encoder is not None:
+            t2u = self.synthesizer_encoder(mt_feats, mt_valid, deterministic)
+        else:
+            t2u = mt_feats
+
+        unit_logits, _ = self.unit_decoder(
+            t2u, enc_valid=mt_valid,
+            src_wait=k2 if streaming else None,
+            src_step=n2 if streaming else None,
+            deterministic=deterministic)
+
+        return {
+            "unit_logits": unit_logits,          # [B, S*up, V_units]
+            "mt_logits": mt_logits,              # [B, S, V_text]
+            "mt_features": mt_feats,
+            "asr_logits": asr_logits,            # [B, T', V_src]
+            "st_logits": st_logits,              # [B, T', V_tgt_text]
+            "encoder_out": enc,
+            "encoder_lengths": enc_lengths,
+            "encoder_valid": enc_valid,
+            "mt_valid": mt_valid,
+        }
+
+
+def build_model(cfg: StreamSpeechConfig, dtype=jnp.float32) -> StreamSpeechModel:
+    return StreamSpeechModel(cfg, dtype=dtype)
+
+
+def init_params(model: StreamSpeechModel, rng, batch=2, frames=64, mt_len=8):
+    c = model.cfg
+    src = jnp.zeros((batch, frames, c.encoder.input_feat_per_channel))
+    lens = jnp.full((batch,), frames, dtype=jnp.int32)
+    mt = jnp.full((batch, mt_len), 2, dtype=jnp.int32)
+    return model.init({"params": rng}, src, lens, mt, n2=1,
+                      use_running_stats=False)

@@ -1,0 +1,403 @@
+"""Transformer stacks: T2U encoder, first-pass MT decoder, NAR unit-CTC decoder, CTC heads.
+
+Behavioral references:
+- T2U encoder: `researches/ctc_unity/modules/transformer_encoder.py:15-112`
+  (UniTransformerEncoderNoEmb — pre-norm fairseq encoder layers, causal mask when
+  unidirectional, final LN).
+- MT decoder: `researches/ctc_unity/modules/transformer_decoder.py:39-419`
+  (post-norm fairseq decoder layers, sinusoidal positions, streaming mask applied to
+  CROSS-attention only; the layer routes `extra` into encoder_attn —
+  `researches/ctc_unity/modules/transformer_layer.py:516`).
+- NAR unit decoder: `researches/ctc_unity/modules/ctc_transformer_unit_decoder.py:25-267`
+  (×upsample repeat of T2U states, pre-norm layers, causal self-attn, wait-k
+  cross-attn mask, CTC projection; positional-embedding quirk documented below).
+- CTC heads: `fairseq/fairseq/models/speech_to_speech/modules/ctc_decoder.py:11`.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from streamspeech_tpu.config import DecoderConfig, UnitDecoderConfig
+from streamspeech_tpu.ops.masks import causal_allowed, waitk_allowed
+from streamspeech_tpu.ops.pos_encoding import sinusoidal_embedding
+from streamspeech_tpu.models.layers import KVCache, MultiHeadAttention
+
+PAD = 1  # fairseq padding index
+
+
+def fairseq_positions(tokens: jnp.ndarray, padding_idx: int = PAD) -> jnp.ndarray:
+    """Position ids à la `fairseq/fairseq/utils.py:256-266`: non-pad tokens get
+    padding_idx + their 1-based position among non-pads; pads get padding_idx."""
+    mask = (tokens != padding_idx).astype(jnp.int32)
+    return jnp.cumsum(mask, axis=1) * mask + padding_idx
+
+
+def token_embedding_init(rng, shape, dtype=jnp.float32):
+    """fairseq Embedding init: N(0, d^-0.5), padding row zeroed."""
+    emb = jax.random.normal(rng, shape, dtype) * (shape[1] ** -0.5)
+    return emb.at[PAD].set(0.0)
+
+
+class TransformerFFN(nn.Module):
+    ffn_dim: int
+    embed_dim: int
+    dropout: float = 0.0
+    activation_dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Dropout(self.activation_dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """fairseq encoder layer (pre- or post-norm)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    normalize_before: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
+                                            self.dropout, dtype=self.dtype,
+                                            name="self_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                                 name="self_attn_layer_norm")
+        self.ffn = TransformerFFN(self.ffn_dim, self.embed_dim, self.dropout,
+                                  self.dropout, dtype=self.dtype, name="ffn")
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                             name="final_layer_norm")
+        self.dropout_module = nn.Dropout(self.dropout)
+
+    def __call__(self, x, allowed=None, key_valid=None, deterministic=True,
+                 cache: Optional[KVCache] = None):
+        residual = x
+        if self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, cache = self.self_attn(x, None, allowed, key_valid, cache, deterministic)
+        x = self.dropout_module(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        residual = x
+        if self.normalize_before:
+            x = self.final_layer_norm(x)
+        x = residual + self.ffn(x, deterministic)
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x, cache
+
+
+class UniTransformerEncoder(nn.Module):
+    """T2U synthesizer encoder over MT decoder states (no embeddings, pre-norm,
+    causal when unidirectional). `transformer_encoder.py:15-77`."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    num_layers: int
+    dropout: float = 0.0
+    unidirectional: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            TransformerEncoderLayer(self.embed_dim, self.ffn_dim, self.num_heads,
+                                    self.dropout, normalize_before=True,
+                                    dtype=self.dtype, name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+
+    def __call__(self, x, key_valid=None, deterministic=True):
+        t = x.shape[1]
+        allowed = causal_allowed(t) if self.unidirectional else None
+        for layer in self.layers:
+            x, _ = layer(x, allowed, key_valid, deterministic)
+        return self.layer_norm(x)
+
+    def step(self, x_new, caches, deterministic=True):
+        """Incremental: x_new [B, S, C] continues the sequence; caches is a list of
+        per-layer KVCache. Exact because the stack is causal."""
+        new_caches = []
+        x = x_new
+        for layer, cache in zip(self.layers, caches):
+            x, cache = layer(x, None, None, deterministic, cache)
+            new_caches.append(cache)
+        return self.layer_norm(x), new_caches
+
+
+class TransformerDecoderLayer(nn.Module):
+    """fairseq decoder layer; `extra["streaming_mask"]` routes to cross-attention
+    (`transformer_layer.py:516`), here the ``allowed_cross`` argument."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    attention_dropout: float = 0.0
+    activation_dropout: float = 0.0
+    normalize_before: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
+                                            self.attention_dropout, dtype=self.dtype,
+                                            name="self_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                                 name="self_attn_layer_norm")
+        self.encoder_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
+                                               self.attention_dropout,
+                                               dtype=self.dtype, name="encoder_attn")
+        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                                    name="encoder_attn_layer_norm")
+        self.ffn = TransformerFFN(self.ffn_dim, self.embed_dim, self.dropout,
+                                  self.activation_dropout, dtype=self.dtype,
+                                  name="ffn")
+        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+                                             name="final_layer_norm")
+        self.dropout_module = nn.Dropout(self.dropout)
+
+    def __call__(self, x, enc, allowed_self=None, allowed_cross=None,
+                 self_valid=None, enc_valid=None, deterministic=True,
+                 self_cache: Optional[KVCache] = None,
+                 cross_cache: Optional[KVCache] = None):
+        residual = x
+        if self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, self_cache = self.self_attn(x, None, allowed_self, self_valid,
+                                       self_cache, deterministic)
+        x = self.dropout_module(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.encoder_attn_layer_norm(x)
+        if cross_cache is not None:
+            x, _ = self.encoder_attn(x, enc, allowed_cross, enc_valid, cross_cache,
+                                     deterministic)
+        else:
+            x, _ = self.encoder_attn(x, enc, allowed_cross, enc_valid, None,
+                                     deterministic)
+        x = self.dropout_module(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.encoder_attn_layer_norm(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.final_layer_norm(x)
+        x = residual + self.ffn(x, deterministic)
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x, self_cache
+
+    def fill_cross(self, enc_new: jnp.ndarray, cross_cache: KVCache) -> KVCache:
+        return self.encoder_attn.fill_cross_cache(enc_new, cross_cache)
+
+
+class TransformerDecoder(nn.Module):
+    """First-pass MT text decoder (post-norm by default, matching the multitask
+    decoder arch `s2s_transformer.py:582-607`)."""
+
+    cfg: DecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = self.param("embed_tokens", token_embedding_init,
+                                       (c.vocab_size, c.embed_dim))
+        self.pos_table = jnp.asarray(
+            sinusoidal_embedding(c.max_target_positions, c.embed_dim, PAD))
+        self.embed_scale = 1.0 if c.no_scale_embedding else math.sqrt(c.embed_dim)
+        self.layers = [
+            TransformerDecoderLayer(
+                c.embed_dim, c.ffn_embed_dim, c.attention_heads, c.dropout,
+                attention_dropout=0.0, activation_dropout=0.0,
+                normalize_before=c.normalize_before, dtype=self.dtype,
+                name=f"layers_{i}")
+            for i in range(c.layers)
+        ]
+        self.final_layer_norm = (nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+                                 if c.normalize_before else None)
+        self.dropout_module = nn.Dropout(c.dropout)
+
+    def embed(self, tokens, positions):
+        x = self.embed_scale * jnp.take(self.embed_tokens, tokens, axis=0)
+        return x + jnp.take(self.pos_table, positions, axis=0)
+
+    def output_layer(self, x):
+        return x @ self.embed_tokens.T.astype(x.dtype)
+
+    def extract_features(
+        self,
+        prev_output_tokens: jnp.ndarray,   # [B, S]
+        enc: jnp.ndarray,                  # [B, T, Ce]
+        enc_valid: Optional[jnp.ndarray] = None,
+        allowed_cross: Optional[jnp.ndarray] = None,  # [B?, S, T] streaming mask
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        c = self.cfg
+        s = prev_output_tokens.shape[1]
+        positions = fairseq_positions(prev_output_tokens)
+        x = self.embed(prev_output_tokens, positions)
+        x = self.dropout_module(x, deterministic=deterministic)
+        allowed_self = causal_allowed(s)
+        self_valid = prev_output_tokens != PAD
+        for layer in self.layers:
+            x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
+                         enc_valid, deterministic)
+        if self.final_layer_norm is not None:
+            x = self.final_layer_norm(x)
+        return x
+
+    def __call__(self, prev_output_tokens, enc, enc_valid=None,
+                 allowed_cross=None, deterministic=True):
+        x = self.extract_features(prev_output_tokens, enc, enc_valid,
+                                  allowed_cross, deterministic)
+        return self.output_layer(x), x
+
+    def step(self, tokens_new, position_offset, self_caches, cross_caches,
+             enc_len, allowed_cross=None):
+        """Incremental decode: tokens_new [B, S_new]; position_offset = number of
+        tokens already decoded. cross_caches hold projected encoder K/V (growing as
+        chunks arrive). Returns (logits, features, self_caches')."""
+        b, s = tokens_new.shape
+        positions = PAD + 1 + position_offset + jnp.arange(s, dtype=jnp.int32)[None]
+        x = self.embed(tokens_new, jnp.broadcast_to(positions, (b, s)))
+        new_self = []
+        enc_valid = None
+        if enc_len is not None:
+            pass  # validity handled by cross_cache.index inside attention
+        for layer, sc, cc in zip(self.layers, self_caches, cross_caches):
+            x, sc = layer(x, None, None, allowed_cross, None, enc_valid,
+                          True, sc, cc)
+            new_self.append(sc)
+        if self.final_layer_norm is not None:
+            x = self.final_layer_norm(x)
+        return self.output_layer(x), x, new_self
+
+    def fill_cross_caches(self, enc_new, cross_caches):
+        return [layer.fill_cross(enc_new, cc)
+                for layer, cc in zip(self.layers, cross_caches)]
+
+
+def unit_decoder_positions(pos_table: jnp.ndarray, batch: int, time: int
+                           ) -> jnp.ndarray:
+    """Reference quirk (kept for checkpoint parity): the NAR unit decoder calls
+    `embed_positions(x[:, :, 0])` on a [T', B] FLOAT tensor
+    (`ctc_transformer_unit_decoder.py:178-183`), so fairseq's make_positions runs
+    over the batch axis — every timestep of batch element b receives the constant
+    embedding pe[padding_idx + 1 + b]. With batch 1 (inference) this is a single
+    constant vector pe[2]. We reproduce exactly that."""
+    idx = PAD + 1 + jnp.arange(batch, dtype=jnp.int32)
+    pe = jnp.take(pos_table, idx, axis=0)  # [B, C]
+    return jnp.broadcast_to(pe[:, None, :], (batch, time, pe.shape[-1]))
+
+
+class CTCTransformerUnitDecoder(nn.Module):
+    """NAR upsampling unit decoder: repeat each T2U state ×upsample, run pre-norm
+    decoder layers with causal self-attn + wait-k cross-attn, project to unit-CTC
+    logits through the shared stacked embedding."""
+
+    cfg: UnitDecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = self.param("embed_tokens", token_embedding_init,
+                                       (c.vocab_size, c.embed_dim))
+        self.pos_table = jnp.asarray(
+            sinusoidal_embedding(c.max_target_positions, c.embed_dim, PAD))
+        self.layers = [
+            TransformerDecoderLayer(
+                c.embed_dim, c.ffn_embed_dim, c.attention_heads, c.dropout,
+                attention_dropout=c.dropout, activation_dropout=c.dropout,
+                normalize_before=True, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(c.layers)
+        ]
+        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.dropout_module = nn.Dropout(c.dropout)
+
+    def upsample(self, enc: jnp.ndarray) -> jnp.ndarray:
+        """[B, T, C] → [B, T*upsample, C] (repeat each frame; `:154-159`)."""
+        return jnp.repeat(enc, self.cfg.ctc_upsample_rate, axis=1)
+
+    def __call__(
+        self,
+        enc: jnp.ndarray,                  # [B, T_mt, C] T2U encoder out
+        enc_valid: Optional[jnp.ndarray] = None,  # [B, T_mt]
+        src_wait: Optional[int] = None,    # k2
+        src_step: Optional[int] = None,    # n2
+        allowed_cross: Optional[jnp.ndarray] = None,  # overrides wait-k mask
+        deterministic: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (unit logits [B, T_mt*up, V], features)."""
+        c = self.cfg
+        b, t_mt, _ = enc.shape
+        x = self.upsample(enc)
+        t_up = x.shape[1]
+        x = x + unit_decoder_positions(self.pos_table, b, t_up).astype(x.dtype)
+        x = self.dropout_module(x, deterministic=deterministic)
+
+        self_valid = None
+        if enc_valid is not None:
+            self_valid = jnp.repeat(enc_valid, c.ctc_upsample_rate, axis=1)
+        allowed_self = causal_allowed(t_up)
+        if allowed_cross is None and src_step is not None:
+            allowed_cross = waitk_allowed(t_up, t_mt, src_wait or 0, src_step,
+                                          src_step * c.ctc_upsample_rate)
+        for layer in self.layers:
+            x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
+                         enc_valid, deterministic)
+        x = self.layer_norm(x)
+        logits = x @ self.embed_tokens.T.astype(x.dtype)
+        return logits, x
+
+    def step(self, enc_new, self_caches, cross_caches, deterministic=True):
+        """Incremental NAR continuation: upsample only the NEW T2U states (the
+        reference slices x[prev_key_length:], `:163-175`), attend self-causally over
+        the cached prefix and cross over all T2U states seen so far."""
+        c = self.cfg
+        b, s_new, _ = enc_new.shape
+        x = self.upsample(enc_new)
+        t_new = x.shape[1]
+        x = x + unit_decoder_positions(self.pos_table, b, t_new).astype(x.dtype)
+        new_self = []
+        for layer, sc, cc in zip(self.layers, self_caches, cross_caches):
+            x, sc = layer(x, None, None, None, None, None, True, sc, cc)
+            new_self.append(sc)
+        x = self.layer_norm(x)
+        logits = x @ self.embed_tokens.T.astype(x.dtype)
+        return logits, x, new_self
+
+    def fill_cross_caches(self, enc_new, cross_caches):
+        return [layer.fill_cross(enc_new, cc)
+                for layer, cc in zip(self.layers, cross_caches)]
+
+
+class CTCHead(nn.Module):
+    """Linear CTC projection over encoder states
+    (`fairseq/fairseq/models/speech_to_speech/modules/ctc_decoder.py:11`)."""
+
+    vocab_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")(x)
