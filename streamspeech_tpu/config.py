@@ -67,12 +67,14 @@ class DecoderConfig:
 
 @dataclass
 class UnitDecoderConfig:
-    """NAR upsampling unit-CTC decoder (`researches/ctc_unity/modules/ctc_transformer_unit_decoder.py:25`)."""
+    """NAR upsampling unit-CTC decoder (`researches/ctc_unity/modules/ctc_transformer_unit_decoder.py:25`).
+    Defaults follow train.simul-s2st.sh: --decoder-layers 2 --decoder-embed-dim 512
+    --decoder-ffn-embed-dim 2048 --decoder-attention-heads 8."""
 
-    embed_dim: int = 256
+    embed_dim: int = 512
     ffn_embed_dim: int = 2048
     layers: int = 2
-    attention_heads: int = 4
+    attention_heads: int = 8
     dropout: float = 0.1
     ctc_upsample_rate: int = 25
     n_frames_per_step: int = 1

@@ -83,6 +83,7 @@ class ConformerLayer(nn.Module):
                                 dtype=self.dtype, name="ffn1")
         self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
                                                  name="self_attn_layer_norm")
+        self.self_attn_dropout = nn.Dropout(c.dropout)
         if c.pos_enc_type == "rel_pos":
             self.self_attn = RelPosMultiHeadAttention(
                 c.embed_dim, c.attention_heads, c.dropout, dtype=self.dtype,
@@ -112,6 +113,7 @@ class ConformerLayer(nn.Module):
         else:
             x, cache = self.self_attn(x, None, allowed, key_valid, cache,
                                       deterministic)
+        x = self.self_attn_dropout(x, deterministic=deterministic)
         x = residual + x
         residual = x
         x = residual + self.conv_module(x, conv_chunk_size, deterministic,

@@ -79,13 +79,20 @@ def _append_kv(cache: KVCache, k_new: jnp.ndarray, v_new: jnp.ndarray
 
 
 def _attend(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
-            bias: Optional[jnp.ndarray], scale: float) -> jnp.ndarray:
-    """q [B,S,H,D], k/v [B,T,H,D], bias broadcastable to [B,H,S,T] → [B,S,H,D]."""
+            bias: Optional[jnp.ndarray], scale: float,
+            dropout: Optional[nn.Dropout] = None,
+            deterministic: bool = True) -> jnp.ndarray:
+    """q [B,S,H,D], k/v [B,T,H,D], bias broadcastable to [B,H,S,T] → [B,S,H,D].
+
+    Dropout (if given) applies to the attention probabilities, matching fairseq
+    MHA (`multihead_attention.py:747` attn_probs = dropout(attn_weights))."""
     scores = jnp.einsum("bshd,bthd->bhst", q * scale, k,
                         preferred_element_type=jnp.float32)
     if bias is not None:
         scores = scores + bias
     probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
+    if dropout is not None:
+        probs = dropout(probs, deterministic=deterministic)
     return jnp.einsum("bhst,bthd->bshd", probs, v)
 
 
@@ -96,8 +103,10 @@ def mask_to_bias(allowed: Optional[jnp.ndarray], key_valid: Optional[jnp.ndarray
     bias = None
     if allowed is not None:
         a = allowed
-        while a.ndim < 4:
-            a = a[None]
+        if a.ndim == 2:        # [S, T] shared across batch+heads
+            a = a[None, None]
+        elif a.ndim == 3:      # [B, S, T] per-example (e.g. streaming mask)
+            a = a[:, None]
         bias = jnp.where(a, 0.0, NEG_INF).astype(jnp.float32)
     if key_valid is not None:
         kv = key_valid
@@ -124,6 +133,7 @@ class MultiHeadAttention(nn.Module):
         self.v_proj = nn.Dense(d, use_bias=self.bias, dtype=self.dtype, name="v_proj")
         self.out_proj = nn.Dense(d, use_bias=self.bias, dtype=self.dtype,
                                  name="out_proj")
+        self.dropout_module = nn.Dropout(self.dropout)
 
     def __call__(
         self,
@@ -148,23 +158,22 @@ class MultiHeadAttention(nn.Module):
             v_new = self.v_proj(kv_in).reshape(b, s, h, dh)
             cache, k, v, valid = _append_kv(cache, k_new, v_new)
             bias = mask_to_bias(allowed, valid)
-            out = _attend(q, k, v, bias, scale)
+            out = _attend(q, k, v, bias, scale, self.dropout_module, deterministic)
         elif cache is not None:
             # cached cross-attention: encoder K/V already in the cache (filled by
             # caller via fill_cross_cache); attend over valid prefix.
             valid = jnp.arange(cache.max_len, dtype=jnp.int32) < cache.index
             bias = mask_to_bias(allowed, valid if key_valid is None else key_valid)
-            out = _attend(q, cache.k, cache.v, bias, scale)
+            out = _attend(q, cache.k, cache.v, bias, scale, self.dropout_module,
+                          deterministic)
         else:
             t = kv_in.shape[1]
             k = self.k_proj(kv_in).reshape(b, t, h, dh)
             v = self.v_proj(kv_in).reshape(b, t, h, dh)
             bias = mask_to_bias(allowed, key_valid)
-            out = _attend(q, k, v, bias, scale)
+            out = _attend(q, k, v, bias, scale, self.dropout_module, deterministic)
 
         out = self.out_proj(out.reshape(b, s, self.embed_dim))
-        if not deterministic and self.dropout > 0:
-            out = nn.Dropout(self.dropout, deterministic=False)(out)
         return (out, cache) if cache is not None else (out, None)
 
     def fill_cross_cache(self, key_value: jnp.ndarray, cache: KVCache) -> KVCache:
@@ -205,6 +214,7 @@ class RelPosMultiHeadAttention(nn.Module):
                                      (h, dh))
         self.pos_bias_v = self.param("pos_bias_v", nn.initializers.xavier_uniform(),
                                      (h, dh))
+        self.dropout_module = nn.Dropout(self.dropout)
 
     def __call__(
         self,
@@ -256,8 +266,7 @@ class RelPosMultiHeadAttention(nn.Module):
         if bias is not None:
             scores = scores + bias
         probs = jax.nn.softmax(scores, axis=-1).astype(v.dtype)
-        if not deterministic and self.dropout > 0:
-            probs = nn.Dropout(self.dropout, deterministic=False)(probs)
+        probs = self.dropout_module(probs, deterministic=deterministic)
         out = jnp.einsum("bhst,bthd->bshd", probs, v)
         out = self.out_proj(out.reshape(b, s, self.embed_dim))
         return (out, cache) if cache is not None else (out, None)

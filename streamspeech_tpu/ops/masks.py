@@ -50,8 +50,11 @@ def waitk_allowed(
     "no restriction" (the reference passes n2=-1 → mask allows everything because
     idx goes negative ... clamped to [1, src_len]; we special-case it to all-True).
     """
-    if src_step < 0 or tgt_step <= 0:
+    concrete = all(isinstance(v, (int,)) for v in (src_wait, src_step, tgt_step))
+    if concrete and (src_step < 0 or tgt_step <= 0):
         return jnp.ones((tgt_len, src_len), dtype=bool)
+    # src_step/tgt_step may be traced scalars (training samples n2 per batch,
+    # `speech_to_speech_ctc_asr_st_criterion.py:136-147`); they are >= 1 there.
     i = _iota(tgt_len)[:, None]
     j = _iota(src_len)[None, :]
     idx = jnp.clip((i // tgt_step + 1) * src_step + src_wait, 1, src_len)

@@ -1,0 +1,102 @@
+"""Training criterion: unit CTC + multitask (CE + aux CTC) losses.
+
+Behavioral reference `researches/ctc_unity/criterions/speech_to_speech_ctc_asr_st_criterion.py:70-232`
++ `fairseq/fairseq/criterions/speech_to_speech_criterion.py:29-110`:
+
+  total = unit_ctc(unit logits, target units; blank = last, zero_infinity, sum)
+        + 8.0 * label-smoothed CE (MT decoder ↔ target_unigram)
+        + 4.0 * CTC (ASR head ↔ source_unigram transcript; blank = 0)
+        + 4.0 * CTC (ST head ↔ ctc_target_unigram text; blank = 0)
+
+Weights come from the multitask YAML (`configs/fr-en/config_mtl_asr_st_ctcst.yaml`).
+The loss is a pure jittable function of (params, batch, rngs) — the reference's
+mutable criterion-object protocol collapses into this plus host-side sampling of
+the multichunk/chunk/n2 randomization (which arrive as step arguments).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from streamspeech_tpu.ops.ctc import ctc_loss_sum
+
+
+def label_smoothed_nll(
+    logits: jnp.ndarray,   # [B, S, V]
+    targets: jnp.ndarray,  # [B, S]
+    valid: jnp.ndarray,    # [B, S] bool
+    epsilon: float,
+) -> Dict[str, jnp.ndarray]:
+    """fairseq label_smoothed_nll_loss semantics (sum reduction over valid)."""
+    lprobs = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(lprobs, targets[..., None], axis=-1)[..., 0]
+    smooth = -jnp.sum(lprobs, axis=-1)
+    v = valid.astype(jnp.float32)
+    eps_i = epsilon / (logits.shape[-1] - 1)
+    loss = (1.0 - epsilon - eps_i) * nll + eps_i * smooth
+    return {"loss": jnp.sum(loss * v), "nll_loss": jnp.sum(nll * v)}
+
+
+@dataclass(frozen=True)
+class CriterionWeights:
+    target_unigram: float = 8.0
+    source_unigram: float = 4.0
+    ctc_target_unigram: float = 4.0
+    label_smoothing: float = 0.1
+
+
+def streamspeech_loss(
+    out: Dict[str, jnp.ndarray],
+    batch: Dict[str, jnp.ndarray],
+    unit_blank: int,
+    weights: CriterionWeights = CriterionWeights(),
+) -> Dict[str, jnp.ndarray]:
+    """out = StreamSpeechModel forward dict; batch carries:
+    target_units [B, N] / target_unit_lengths [B]
+    mt_targets [B, S] / (valid from != PAD)
+    src_text [B, Ns] / src_text_lengths (source_unigram transcript)
+    tgt_text [B, Nt] / tgt_text_lengths (ctc_target_unigram text)
+    """
+    # main second-pass loss: CTC over upsampled unit logits
+    unit_logits = out["unit_logits"]
+    up_valid = jnp.repeat(out["mt_valid"],
+                          unit_logits.shape[1] // out["mt_valid"].shape[1], axis=1)
+    unit_input_lengths = jnp.sum(up_valid, axis=-1)
+    unit_loss = ctc_loss_sum(
+        jax.nn.log_softmax(unit_logits.astype(jnp.float32), -1),
+        unit_input_lengths, batch["target_units"],
+        batch["target_unit_lengths"], blank_id=unit_blank)
+
+    # first-pass MT CE (label-smoothed)
+    mt_valid = batch["mt_targets"] != 1
+    ce = label_smoothed_nll(out["mt_logits"], batch["mt_targets"], mt_valid,
+                            weights.label_smoothing)
+
+    # aux CTC heads over encoder frames (blank = 0)
+    enc_lengths = out["encoder_lengths"]
+    asr_loss = ctc_loss_sum(
+        jax.nn.log_softmax(out["asr_logits"].astype(jnp.float32), -1),
+        enc_lengths, batch["src_text"], batch["src_text_lengths"], blank_id=0)
+    st_loss = ctc_loss_sum(
+        jax.nn.log_softmax(out["st_logits"].astype(jnp.float32), -1),
+        enc_lengths, batch["tgt_text"], batch["tgt_text_lengths"], blank_id=0)
+
+    total = (unit_loss
+             + weights.target_unigram * ce["loss"]
+             + weights.source_unigram * asr_loss
+             + weights.ctc_target_unigram * st_loss)
+    sample_size = jnp.maximum(jnp.sum(batch["target_unit_lengths"]), 1)
+    return {
+        "loss": total,
+        "unit_ctc_loss": unit_loss,
+        "mt_loss": ce["loss"],
+        "mt_nll_loss": ce["nll_loss"],
+        "asr_ctc_loss": asr_loss,
+        "st_ctc_loss": st_loss,
+        "sample_size": sample_size,
+        "mt_ntokens": jnp.sum(mt_valid),
+    }

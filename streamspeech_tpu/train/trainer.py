@@ -1,0 +1,145 @@
+"""pjit training runtime.
+
+TPU-native equivalent of fairseq's Trainer (`fairseq/fairseq/trainer.py:36-1622`):
+- one jitted train step over a (data, model) Mesh replaces DDP wrapping + manual
+  bucketed all-reduce; gradient averaging is whatever XLA inserts for the
+  batch-sharded loss;
+- fp16 machinery (FP16Optimizer / loss scaling, `fairseq/fairseq/optim/fp16_optimizer.py`)
+  is unnecessary: compute runs in bfloat16, params/optimizer in fp32 — no scaler;
+- gradient accumulation (update_freq, `trainer.py:820` maybe_no_sync) is an
+  optax.MultiSteps wrapper;
+- grad-norm clipping matches --clip-norm (global norm);
+- the cross-rank grad-norm consistency check (`trainer.py:1482`) is moot under
+  SPMD (a single program computes one grad), replaced by a NaN/Inf guard that
+  skips the update and reports an overflow flag (the analogue of fairseq's
+  DynamicLossScaler skip path).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from streamspeech_tpu.config import OptimizationConfig, TrainingConfig
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+from streamspeech_tpu.train.criterion import CriterionWeights, streamspeech_loss
+from streamspeech_tpu.train.lr import inverse_sqrt
+from streamspeech_tpu.parallel.sharding import (
+    batch_sharding,
+    param_shardings,
+    replicated,
+)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jnp.ndarray
+
+    @classmethod
+    def create(cls, variables, tx):
+        params = variables["params"]
+        return cls(params=params,
+                   batch_stats=variables.get("batch_stats", {}),
+                   opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def make_optimizer(opt: OptimizationConfig) -> optax.GradientTransformation:
+    schedule = inverse_sqrt(opt.lr, opt.warmup_updates, opt.warmup_init_lr)
+    tx = optax.chain(
+        optax.clip_by_global_norm(opt.clip_norm) if opt.clip_norm > 0
+        else optax.identity(),
+        optax.scale_by_adam(b1=opt.adam_betas[0], b2=opt.adam_betas[1],
+                            eps=opt.adam_eps),
+        optax.add_decayed_weights(opt.weight_decay) if opt.weight_decay > 0
+        else optax.identity(),
+        optax.scale_by_schedule(schedule),
+        optax.scale(-1.0),
+    )
+    if opt.update_freq > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=opt.update_freq)
+    return tx
+
+
+def make_train_step(
+    model: StreamSpeechModel,
+    tx: optax.GradientTransformation,
+    unit_blank: int,
+    weights: CriterionWeights = CriterionWeights(),
+) -> Callable:
+    """Returns train_step(state, batch, rng, chunk_size, conv_chunk_size, n2).
+
+    chunk sizes are static (multichunk draws them host-side per batch — a handful
+    of compiled variants); n2 is a traced scalar (drawn host-side, any value).
+    """
+
+    def loss_fn(params, batch_stats, batch, rng, chunk_size, conv_chunk_size):
+        variables = {"params": params, "batch_stats": batch_stats}
+        out, mutated = model.apply(
+            variables, batch["src_tokens"], batch["src_lengths"],
+            batch["prev_output_tokens_mt"],
+            chunk_size=chunk_size, conv_chunk_size=conv_chunk_size,
+            k1=0, n1=1, k2=0, n2=batch["n2"],
+            streaming=True, deterministic=False, use_running_stats=False,
+            rngs={"dropout": rng}, mutable=["batch_stats"])
+        metrics = streamspeech_loss(out, batch, unit_blank, weights)
+        loss = metrics["loss"] / metrics["sample_size"].astype(jnp.float32)
+        return loss, (metrics, mutated["batch_stats"])
+
+    @partial(jax.jit, static_argnames=("chunk_size", "conv_chunk_size"),
+             donate_argnums=(0,))
+    def train_step(state: TrainState, batch, rng, chunk_size, conv_chunk_size):
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (loss, (metrics, new_stats)), grads = grad_fn(
+            state.params, state.batch_stats, batch, rng, chunk_size,
+            conv_chunk_size)
+        gnorm = optax.global_norm(grads)
+        finite = jnp.isfinite(gnorm)
+        # fairseq overflow-skip analogue: zero the grads if non-finite
+        grads = jax.tree.map(
+            lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(params=params, batch_stats=new_stats,
+                               opt_state=opt_state, step=state.step + 1)
+        metrics = dict(metrics, grad_norm=gnorm, overflow=~finite, loss_mean=loss)
+        return new_state, metrics
+
+    return train_step
+
+
+def create_sharded_state(variables: Dict[str, Any], tx, mesh: Mesh,
+                         fsdp: bool = False, tp: bool = False) -> TrainState:
+    """Place params on the mesh and init the optimizer UNDER jit so XLA's
+    sharding propagation gives adam moments the same layout as their parameters
+    (ZeRO-style optimizer sharding for free when fsdp=True)."""
+    p_sh = param_shardings(variables["params"], mesh, fsdp=fsdp, tp=tp)
+    params = jax.tree.map(lambda x, s: jax.device_put(x, s),
+                          variables["params"], p_sh)
+    batch_stats = jax.tree.map(
+        lambda x: jax.device_put(x, replicated(mesh)),
+        variables.get("batch_stats", {}))
+    opt_state = jax.jit(tx.init)(params)
+    return TrainState(params=params, batch_stats=batch_stats,
+                      opt_state=opt_state,
+                      step=jax.device_put(jnp.zeros((), jnp.int32),
+                                          replicated(mesh)))
+
+
+def batch_spec(mesh: Mesh, batch: Dict[str, Any]):
+    """All batch arrays sharded on their leading (batch) dim except scalars."""
+    def f(x):
+        if hasattr(x, "ndim") and x.ndim >= 1:
+            return batch_sharding(mesh)
+        return replicated(mesh)
+    return jax.tree.map(f, batch)
