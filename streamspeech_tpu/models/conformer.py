@@ -13,14 +13,17 @@ Differences from the reference (deliberate, TPU-first):
 - chunk sizes are __call__ arguments (the reference mutates module attributes at
   runtime, `agent/speech_to_speech.streamspeech.agent.py:395-413`; here they are
   jit-static args so each (chunk, conv_chunk) pair is one compiled program);
-- incremental encoding via KV/conv caches lives in runtime/streaming.py; the chunk
-  attention mask makes prefix outputs invariant so both paths agree exactly.
+- ``encode_block`` processes ONE new chunk with ring/KV caches instead of the
+  reference's full re-encode per policy call (`agent/...agent.py:433` — O(T²) per
+  utterance there). The chunk attention mask makes prefix outputs invariant, so
+  both paths produce identical numerics (tested in tests/test_streaming.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import math
-from typing import Any, Optional, Tuple
+from typing import Any, List, Optional, Tuple
 
 import flax.linen as nn
 import jax
@@ -33,9 +36,27 @@ from streamspeech_tpu.models.layers import (
     ChunkCausalConv,
     ConvolutionModule,
     FeedForward,
-    RelPosMultiHeadAttention,
+    KVCache,
     MultiHeadAttention,
+    RelPosMultiHeadAttention,
 )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class EncoderStreamState:
+    """All device-side state for incremental encoding (static shapes).
+
+    sub_ctx:    left-context tails for the 2 subsampler convs (input-rate frames).
+    conv_ctx:   per-layer post-GLU tails for the depthwise convs.
+    kv:         per-layer attention KV caches (capacity = max encoder frames).
+    pos:        encoder frames emitted so far (attention absolute offset).
+    """
+
+    sub_ctx: Tuple[jnp.ndarray, ...]
+    conv_ctx: Tuple[jnp.ndarray, ...]
+    kv: Tuple[KVCache, ...]
+    pos: jnp.ndarray
 
 
 class Conv1dSubsampler(nn.Module):
@@ -48,19 +69,47 @@ class Conv1dSubsampler(nn.Module):
     cfg: EncoderConfig
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: jnp.ndarray, conv_chunk_size: Optional[int]):
+    def setup(self):
         c = self.cfg
         n = len(c.conv_kernel_sizes)
         in_ch = c.input_feat_per_channel * c.input_channels
+        convs = []
         for i, k in enumerate(c.conv_kernel_sizes):
             out_ch = c.conv_channels if i < n - 1 else c.embed_dim * 2
-            x = ChunkCausalConv(in_ch, out_ch, k, stride=2, use_bias=True,
-                               dtype=self.dtype, name=f"conv_{i}")(x, conv_chunk_size)
+            convs.append(ChunkCausalConv(in_ch, out_ch, k, stride=2,
+                                         use_bias=True, dtype=self.dtype,
+                                         name=f"conv_{i}"))
+            in_ch = out_ch // 2
+        self.convs = convs
+
+    def __call__(self, x: jnp.ndarray, conv_chunk_size: Optional[int]):
+        for conv in self.convs:
+            x = conv(x, conv_chunk_size)
             a, g = jnp.split(x, 2, axis=-1)
             x = a * jax.nn.sigmoid(g)
-            in_ch = out_ch // 2
         return x
+
+    def step(self, x_block, ctxs, conv_chunk_size, valid_len=None):
+        """x_block [B, Tb, F] (Tb divisible by 4); ctxs = per-conv input tails.
+
+        valid_len (traced int, final partial block only): number of REAL frames in
+        the block. Offline, the conv's internal right zero-padding feeds the next
+        conv with hard zeros; a zero-padded block instead produces bias+GLU(0) ≠ 0
+        at intermediate levels, so frames past ceil(valid/2) per level are zeroed
+        to match the offline computation exactly.
+        """
+        new_ctxs = []
+        for conv, ctx in zip(self.convs, ctxs):
+            x_block, new_ctx = conv.step(
+                jnp.concatenate([ctx, x_block], axis=1), conv_chunk_size)
+            new_ctxs.append(new_ctx)
+            a, g = jnp.split(x_block, 2, axis=-1)
+            x_block = a * jax.nn.sigmoid(g)
+            if valid_len is not None:
+                valid_len = -(-valid_len // 2)  # ceil(valid / stride)
+                keep = jnp.arange(x_block.shape[1], dtype=jnp.int32) < valid_len
+                x_block = x_block * keep[None, :, None].astype(x_block.dtype)
+        return x_block, tuple(new_ctxs)
 
     @staticmethod
     def out_length(in_length):
@@ -100,19 +149,21 @@ class ConformerLayer(nn.Module):
         self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
                                              name="final_layer_norm")
 
+    def _attend(self, x, pos_emb, allowed, key_valid, cache, q_offset,
+                deterministic):
+        if isinstance(self.self_attn, RelPosMultiHeadAttention):
+            return self.self_attn(x, pos_emb, allowed, key_valid, cache,
+                                  q_offset, deterministic)
+        return self.self_attn(x, None, allowed, key_valid, cache, deterministic)
+
     def __call__(self, x, pos_emb, allowed, key_valid, conv_chunk_size,
-                 deterministic: bool = True, use_running_stats: bool = True,
-                 cache=None, q_offset: int = 0):
+                 deterministic: bool = True, use_running_stats: bool = True):
         residual = x
         x = residual + 0.5 * self.ffn1(x, deterministic)
         residual = x
         x = self.self_attn_layer_norm(x)
-        if isinstance(self.self_attn, RelPosMultiHeadAttention):
-            x, cache = self.self_attn(x, pos_emb, allowed, key_valid, cache,
-                                      q_offset, deterministic)
-        else:
-            x, cache = self.self_attn(x, None, allowed, key_valid, cache,
-                                      deterministic)
+        x, _ = self._attend(x, pos_emb, allowed, key_valid, None, 0,
+                            deterministic)
         x = self.self_attn_dropout(x, deterministic=deterministic)
         x = residual + x
         residual = x
@@ -120,11 +171,27 @@ class ConformerLayer(nn.Module):
                                         use_running_stats)
         residual = x
         x = residual + 0.5 * self.ffn2(x, deterministic)
-        return self.final_layer_norm(x), cache
+        return self.final_layer_norm(x)
+
+    def step(self, x, pos_emb, allowed, kv, conv_ctx, q_offset, conv_chunk_size):
+        """Incremental block step (eval mode). Returns (y, kv', conv_ctx')."""
+        residual = x
+        x = residual + 0.5 * self.ffn1(x, True)
+        residual = x
+        x = self.self_attn_layer_norm(x)
+        x, kv = self._attend(x, pos_emb, allowed, None, kv, q_offset, True)
+        x = residual + x
+        residual = x
+        y, conv_ctx = self.conv_module.step(x, conv_ctx, conv_chunk_size)
+        x = residual + y
+        residual = x
+        x = residual + 0.5 * self.ffn2(x, True)
+        return self.final_layer_norm(x), kv, conv_ctx
 
 
 class ChunkConformerEncoder(nn.Module):
-    """Full encoder. __call__ = offline/teacher-forcing path (whole utterance)."""
+    """Full encoder. __call__ = offline/teacher-forcing path (whole utterance);
+    ``init_stream_state``/``encode_block`` = exact incremental path."""
 
     cfg: EncoderConfig
     dtype: Any = jnp.float32
@@ -137,8 +204,6 @@ class ChunkConformerEncoder(nn.Module):
                        for i in range(c.layers)]
         self.embed_scale = 1.0 if c.no_scale_embedding else math.sqrt(c.embed_dim)
         self.dropout_module = nn.Dropout(c.dropout)
-        # rel-pos table buffer (constant, not a parameter)
-        self.max_rel = c.max_source_positions
 
     def __call__(
         self,
@@ -167,13 +232,79 @@ class ChunkConformerEncoder(nn.Module):
         allowed = None
         if chunk_size is not None and chunk_size < 999:
             allowed = chunk_allowed(t, chunk_size)
-        elif c.unidirectional and chunk_size is not None:
-            # chunk >= 999 with a unidirectional flag still means full context in
-            # the reference (multichunk eval sets chunk=99999 → no mask)
-            allowed = None
         key_valid = lengths_to_mask(out_lengths, t)
 
         for layer in self.layers:
-            x, _ = layer(x, pos_emb, allowed, key_valid, conv_chunk_size,
-                         deterministic, use_running_stats)
+            x = layer(x, pos_emb, allowed, key_valid, conv_chunk_size,
+                      deterministic, use_running_stats)
         return x, out_lengths
+
+    # ------------------------------------------------------------------
+    # incremental path
+    # ------------------------------------------------------------------
+
+    def init_stream_state(self, batch: int, max_frames: int) -> EncoderStreamState:
+        """max_frames = encoder-frame KV capacity (post-subsample)."""
+        c = self.cfg
+        h = c.attention_heads
+        dh = c.embed_dim // h
+        sub_ctx = []
+        in_ch = c.input_feat_per_channel * c.input_channels
+        n = len(c.conv_kernel_sizes)
+        for i, k in enumerate(c.conv_kernel_sizes):
+            sub_ctx.append(jnp.zeros((batch, k // 2, in_ch), self.dtype))
+            out_ch = c.conv_channels if i < n - 1 else c.embed_dim * 2
+            in_ch = out_ch // 2
+        conv_pad = c.depthwise_conv_kernel_size // 2
+        conv_ctx = tuple(jnp.zeros((batch, conv_pad, c.embed_dim), self.dtype)
+                         for _ in range(c.layers))
+        kv = tuple(KVCache.create(batch, max_frames, h, dh, self.dtype)
+                   for _ in range(c.layers))
+        return EncoderStreamState(sub_ctx=tuple(sub_ctx), conv_ctx=conv_ctx,
+                                  kv=kv, pos=jnp.zeros((), jnp.int32))
+
+    def encode_block(
+        self,
+        block: jnp.ndarray,            # [B, Tb, 80], Tb = 4 * chunk frames
+        state: EncoderStreamState,
+        chunk_size: int,
+        conv_chunk_size: int,
+        valid_len=None,                # real frames in a zero-padded final block
+    ) -> Tuple[jnp.ndarray, EncoderStreamState]:
+        """Encode one new block (the streaming hot path; one jit program).
+
+        Preconditions: Tb divisible by 4 and by 4*conv_chunk; the block is one or
+        more whole attention chunks (chunk_size | Tb/4)."""
+        c = self.cfg
+        x, sub_ctx = self.subsample.step(block, state.sub_ctx, conv_chunk_size,
+                                         valid_len)
+        s = x.shape[1]
+        x = x * self.embed_scale
+        x = self.linear(x)
+
+        max_frames = state.kv[0].max_len
+        pos_emb = None
+        if c.pos_enc_type == "rel_pos":
+            table = jnp.asarray(rel_pos_encoding(max_frames + s, c.embed_dim),
+                                dtype=self.dtype)
+            # slice so table[0] ↔ relative position (pos + s - 1)
+            start = (max_frames + s - 1) - (state.pos + s - 1)
+            pos_emb = jax.lax.dynamic_slice(
+                table, (start, 0), (s + max_frames, c.embed_dim))
+
+        # intra-block chunk mask against cached keys: query i (abs pos+i) may see
+        # key j (absolute) iff j < ((pos+i)//chunk + 1)*chunk
+        q_abs = state.pos + jnp.arange(s, dtype=jnp.int32)[:, None]
+        j_abs = jnp.arange(max_frames, dtype=jnp.int32)[None, :]
+        allowed = j_abs < (q_abs // chunk_size + 1) * chunk_size
+
+        new_kv: List[KVCache] = []
+        new_conv: List[jnp.ndarray] = []
+        for layer, kv, cc in zip(self.layers, state.kv, state.conv_ctx):
+            x, kv, cc = layer.step(x, pos_emb, allowed, kv, cc, state.pos,
+                                   conv_chunk_size)
+            new_kv.append(kv)
+            new_conv.append(cc)
+        new_state = EncoderStreamState(sub_ctx=sub_ctx, conv_ctx=tuple(new_conv),
+                                       kv=tuple(new_kv), pos=state.pos + s)
+        return x, new_state

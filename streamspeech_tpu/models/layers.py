@@ -350,6 +350,49 @@ def chunk_causal_conv1d(
     return out
 
 
+def chunk_causal_conv1d_step(
+    x_ctx: jnp.ndarray,        # [B, pad + Tb, Cin]: left-context then new block
+    weight: jnp.ndarray,
+    bias: Optional[jnp.ndarray],
+    stride: int,
+    chunk_size: Optional[int],
+    depthwise: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Incremental block step of chunk_causal_conv1d.
+
+    Preconditions: the block's first frame sits at an absolute input position that
+    is a multiple of chunk_size (blocks are whole chunks), and Tb % stride == 0.
+    The chunk-boundary tap mask is then phase-invariant, so outputs equal the
+    corresponding rows of the offline convolution (the prefix-invariance property
+    the reference obtains by re-running the whole conv each chunk).
+
+    Returns (out [B, Tb/stride, Cout], new_ctx [B, pad, Cin]).
+    """
+    k = weight.shape[0]
+    pad = k // 2
+    tb = x_ctx.shape[1] - pad
+    t_out = tb // stride
+    new_ctx = x_ctx[:, -pad:] if pad > 0 else x_ctx[:, :0]
+    xp = jnp.pad(x_ctx, ((0, 0), (0, pad), (0, 0)))
+    if chunk_size is None or chunk_size >= 999:
+        allowed = jnp.ones((t_out, k), dtype=bool)
+    else:
+        tpos = jnp.arange(t_out, dtype=jnp.int32)[:, None] * stride
+        u = tpos - pad + jnp.arange(k, dtype=jnp.int32)[None, :]
+        allowed = u < (tpos // chunk_size + 1) * chunk_size
+    out = None
+    for d in range(k):
+        xd = jax.lax.dynamic_slice_in_dim(xp, d, (t_out - 1) * stride + 1, axis=1)
+        if stride > 1:
+            xd = xd[:, ::stride]
+        xd = xd * allowed[None, :, d:d + 1].astype(xd.dtype)
+        contrib = xd * weight[d][None, None, :] if depthwise else xd @ weight[d]
+        out = contrib if out is None else out + contrib
+    if bias is not None:
+        out = out + bias
+    return out, new_ctx
+
+
 class ChunkCausalConv(nn.Module):
     """flax wrapper holding the conv parameters in reference layout."""
 
@@ -361,20 +404,32 @@ class ChunkCausalConv(nn.Module):
     depthwise: bool = False
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, chunk_size: Optional[int]):
+    def setup(self):
         if self.depthwise:
             assert self.in_channels == self.out_channels
-            w = self.param("weight", nn.initializers.lecun_normal(),
-                           (self.kernel_size, self.in_channels))
+            self.weight = self.param("weight", nn.initializers.lecun_normal(),
+                                     (self.kernel_size, self.in_channels))
         else:
-            w = self.param("weight", nn.initializers.lecun_normal(),
-                           (self.kernel_size, self.in_channels, self.out_channels))
-        b = (self.param("bias", nn.initializers.zeros, (self.out_channels,))
-             if self.use_bias else None)
-        return chunk_causal_conv1d(x, w.astype(self.dtype),
-                                   None if b is None else b.astype(self.dtype),
+            self.weight = self.param(
+                "weight", nn.initializers.lecun_normal(),
+                (self.kernel_size, self.in_channels, self.out_channels))
+        self.bias = (self.param("bias", nn.initializers.zeros,
+                                (self.out_channels,)) if self.use_bias else None)
+
+    def __call__(self, x, chunk_size: Optional[int]):
+        b = None if self.bias is None else self.bias.astype(self.dtype)
+        return chunk_causal_conv1d(x, self.weight.astype(self.dtype), b,
                                    self.stride, chunk_size, self.depthwise)
+
+    def step(self, x_ctx, chunk_size: Optional[int]):
+        """Incremental block step; x_ctx = [left ctx (k//2), new block]."""
+        b = None if self.bias is None else self.bias.astype(self.dtype)
+        return chunk_causal_conv1d_step(x_ctx, self.weight.astype(self.dtype), b,
+                                        self.stride, chunk_size, self.depthwise)
+
+    @property
+    def ctx_len(self) -> int:
+        return self.kernel_size // 2
 
 
 class ConvolutionModule(nn.Module):
@@ -388,20 +443,42 @@ class ConvolutionModule(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.embed_dim
+        self.layer_norm = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
+        self.pointwise_conv1 = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
+                                        name="pointwise_conv1")
+        self.depthwise_conv = ChunkCausalConv(
+            c, c, self.depthwise_kernel_size, stride=1, use_bias=False,
+            depthwise=True, dtype=self.dtype, name="depthwise_conv")
+        self.batch_norm = nn.BatchNorm(momentum=0.9, epsilon=1e-5,
+                                       dtype=self.dtype, name="batch_norm")
+        self.pointwise_conv2 = nn.Dense(c, use_bias=False, dtype=self.dtype,
+                                        name="pointwise_conv2")
+        self.dropout_module = nn.Dropout(self.dropout)
+
+    def _pre(self, x):
+        x = self.layer_norm(x)
+        x = self.pointwise_conv1(x)
+        a, g = jnp.split(x, 2, axis=-1)
+        return a * jax.nn.sigmoid(g)  # GLU over channel dim
+
+    def _post(self, x, deterministic, use_running_stats):
+        x = self.batch_norm(x, use_running_average=use_running_stats)
+        x = jax.nn.silu(x)
+        x = self.pointwise_conv2(x)
+        return self.dropout_module(x, deterministic=deterministic)
+
     def __call__(self, x, chunk_size: Optional[int], deterministic: bool = True,
                  use_running_stats: bool = True):
-        c = self.embed_dim
-        x = nn.LayerNorm(name="layer_norm", dtype=self.dtype)(x)
-        x = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
-                     name="pointwise_conv1")(x)
-        a, g = jnp.split(x, 2, axis=-1)
-        x = a * jax.nn.sigmoid(g)  # GLU over channel dim
-        x = ChunkCausalConv(c, c, self.depthwise_kernel_size, stride=1,
-                            use_bias=False, depthwise=True, dtype=self.dtype,
-                            name="depthwise_conv")(x, chunk_size)
-        x = nn.BatchNorm(use_running_average=use_running_stats, momentum=0.9,
-                         epsilon=1e-5, dtype=self.dtype, name="batch_norm")(x)
-        x = jax.nn.silu(x)
-        x = nn.Dense(c, use_bias=False, dtype=self.dtype, name="pointwise_conv2")(x)
-        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = self._pre(x)
+        x = self.depthwise_conv(x, chunk_size)
+        return self._post(x, deterministic, use_running_stats)
+
+    def step(self, x_new, conv_ctx, chunk_size: Optional[int]):
+        """Incremental: conv_ctx holds the previous post-GLU activations
+        [B, k//2, C]. Returns (y, new_ctx). Eval mode (running BN stats)."""
+        x = self._pre(x_new)
+        x_ctx = jnp.concatenate([conv_ctx, x], axis=1)
+        x, new_ctx = self.depthwise_conv.step(x_ctx, chunk_size)
+        return self._post(x, True, True), new_ctx

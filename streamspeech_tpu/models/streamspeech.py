@@ -141,6 +141,59 @@ class StreamSpeechModel(nn.Module):
         }
 
 
+    # ------------------------------------------------------------------
+    # incremental (streaming) methods — used via model.apply(..., method=...)
+    # ------------------------------------------------------------------
+
+    def encoder_stream_init(self, batch: int, max_frames: int):
+        return self.encoder.init_stream_state(batch, max_frames)
+
+    def encode_block_with_ctc(self, block, state, chunk_size: int,
+                              conv_chunk_size: int, valid_len=None):
+        """Streaming hot path: encode one block incrementally and return the
+        aux-CTC argmax ids for the new frames (the policy inputs).
+        Returns (enc_block, state', asr_ids [B,s], st_ids [B,s])."""
+        enc, state = self.encoder.encode_block(block, state, chunk_size,
+                                               conv_chunk_size, valid_len)
+        asr_ids = jnp.argmax(self.source_unigram_head(enc), axis=-1)
+        st_ids = jnp.argmax(self.ctc_target_unigram_head(enc), axis=-1)
+        return enc, state, asr_ids, st_ids
+
+    def mt_decoder_step(self, tokens_new, position_offset, self_caches,
+                        cross_caches):
+        """One (or few) MT token step(s) with KV caches (greedy continue-from-
+        prefix, `agent/sequence_generator.py:165-215` semantics)."""
+        return self.mt_decoder.step(tokens_new, position_offset, self_caches,
+                                    cross_caches, None)
+
+    def mt_fill_cross(self, enc_new, cross_caches):
+        """Append newly-encoded frames into the MT decoder's cross-attn caches
+        (the reference appends grown encoder keys, `transformer_layer.py:490-506`)."""
+        return self.mt_decoder.fill_cross_caches(enc_new, cross_caches)
+
+    def synthesize_units(self, prev_output_tokens_mt, enc, enc_len):
+        """Fresh full-prefix unit synthesis, exactly the reference's emission path
+        (`agent/...agent.py:638-700`): re-run MT decoder features over the full
+        prefix against the CURRENT encoder (no streaming mask), T2U encoder
+        (causal), NAR unit decoder (full), return unit-CTC argmax ids.
+
+        enc: [B, T_max, C] accumulated encoder buffer; enc_len: valid frames.
+        """
+        t = enc.shape[1]
+        enc_valid = lengths_to_mask(jnp.asarray([enc_len])
+                                    if jnp.ndim(enc_len) == 0 else enc_len, t)
+        feats = self.mt_decoder.extract_features(prev_output_tokens_mt, enc,
+                                                 enc_valid, None, True)
+        mt_valid = prev_output_tokens_mt != PAD
+        if self.synthesizer_encoder is not None:
+            t2u = self.synthesizer_encoder(feats, mt_valid, True)
+        else:
+            t2u = feats
+        unit_logits, _ = self.unit_decoder(t2u, enc_valid=mt_valid,
+                                           deterministic=True)
+        return jnp.argmax(unit_logits, axis=-1), unit_logits
+
+
 def build_model(cfg: StreamSpeechConfig, dtype=jnp.float32) -> StreamSpeechModel:
     return StreamSpeechModel(cfg, dtype=dtype)
 
