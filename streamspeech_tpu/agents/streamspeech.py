@@ -1,0 +1,295 @@
+"""StreamSpeech streaming agents (S2ST / S2TT / ASR) over the incremental engine.
+
+Policy-exact rebuild of the reference agents:
+- Simul-S2ST: `agent/speech_to_speech.streamspeech.agent.py:422-770` — READ/WRITE
+  driven by growth of the deduplicated ASR and ST CTC hypotheses; allowed MT
+  length = ((tgt_ctc_len − k1)//n)·n; whole-word truncation with KV rollback;
+  duration-aware incremental waveform emission (new tail =
+  dur[−len(cur_unit):].sum() × 320 samples, `:743-751`).
+- Simul-S2TT: `agent/speech_to_text.s2tt.streamspeech.agent.py:381-545`.
+- Streaming ASR: `agent/speech_to_text.asr.streamspeech.agent.py:385-433` — emit
+  the ASR-CTC text diff each chunk.
+
+The device work is incremental (runtime/session.py) instead of the reference's
+full per-chunk recomputation; outputs are identical (tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import numpy as np
+
+from streamspeech_tpu.agents.base import (
+    ReadAction,
+    SpeechSegment,
+    SpeechToSpeechAgent,
+    SpeechToTextAgent,
+    TextSegment,
+    WriteAction,
+)
+from streamspeech_tpu.dictionary import Dictionary
+from streamspeech_tpu.ops.cmvn import GlobalCMVN
+from streamspeech_tpu.ops.fbank import OnlineFbank
+from streamspeech_tpu.registry import AGENTS
+from streamspeech_tpu.runtime.session import StreamSpeechEngine
+
+SAMPLE_RATE = 16000
+
+
+@dataclass
+class StreamSpeechAgentConfig:
+    source_segment_size: int = 320   # ms
+    lagging_k1: int = 0
+    lagging_k2: int = 0
+    stride_n: int = 1
+    stride_n2: int = 1
+    max_len: int = 200
+    whole_word: bool = False         # reference enables it for >=640 ms chunks
+    dur_prediction: bool = True
+
+    @property
+    def chunk_size(self) -> int:
+        """Attention chunk = segment//40 (`agent.py:395`)."""
+        return max(self.source_segment_size // 40, 1)
+
+    @property
+    def conv_chunk_size(self) -> int:
+        """Conv chunk forced to 16 if chunk >= 16 else 8 (`agent.py:404-413`)."""
+        return 16 if self.chunk_size >= 16 else 8
+
+
+def spm_text(dictionary: Dictionary, ids: List[int]) -> str:
+    return dictionary.string(ids, spm_to_text=True)
+
+
+class _StreamSpeechAgentBase:
+    """Shared source-side machinery: incremental fbank + gcmvn + block encode."""
+
+    def __init__(self, engine: StreamSpeechEngine, cfg: StreamSpeechAgentConfig,
+                 src_dict: Dictionary, tgt_dict: Dictionary,
+                 gcmvn: Optional[GlobalCMVN] = None):
+        self.engine = engine
+        self.cfg = cfg
+        self.src_dict = src_dict
+        self.tgt_dict = tgt_dict
+        self.gcmvn = gcmvn
+        self.fbank = OnlineFbank()
+
+    def reset_stream(self):
+        self.fbank.reset()
+        self.session = self.engine.new_session()
+        self.consumed_samples = 0
+        self.src_ctc_prefix_length = 0
+        self.tgt_ctc_prefix_length = 0
+
+    def ingest(self, states) -> int:
+        """Push any new raw samples through fbank → gcmvn → encoder blocks.
+        Returns total encoder frames so far."""
+        new = states.source[self.consumed_samples:]
+        self.consumed_samples = len(states.source)
+        feats = self.fbank.push(np.asarray(new, np.float32)) if len(new) else \
+            np.zeros((0, 80), np.float32)
+        if self.gcmvn is not None and feats.shape[0]:
+            feats = np.asarray(self.gcmvn(feats))
+        self.session.push_features(feats, self.cfg.chunk_size,
+                                   self.cfg.conv_chunk_size,
+                                   finished=states.source_finished)
+        return self.session.enc_len
+
+
+@AGENTS.register("streamspeech_s2st")
+class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
+    """Flagship simultaneous speech-to-speech agent."""
+
+    def __init__(self, engine, cfg, src_dict, tgt_dict, unit_dict,
+                 gcmvn=None, quiet=True):
+        _StreamSpeechAgentBase.__init__(self, engine, cfg, src_dict, tgt_dict,
+                                        gcmvn)
+        self.unit_dict = unit_dict
+        self.unit_blank = unit_dict.blank()
+        self.quiet = quiet
+        SpeechToSpeechAgent.__init__(self)
+
+    def reset(self):
+        super().reset()
+        self.reset_stream()
+        self.units: List[int] = []
+        self.unfinished_wav: Optional[np.ndarray] = None
+        self.asr_text = ""
+        self.st_text = ""
+
+    def _final_write(self):
+        self.states.target_finished = True
+        content = (self.unfinished_wav.tolist()
+                   if self.unfinished_wav is not None else [])
+        return WriteAction(SpeechSegment(content=content,
+                                         sample_rate=SAMPLE_RATE, finished=True),
+                           finished=True)
+
+    def policy(self):
+        cfg = self.cfg
+        finished = self.states.source_finished
+        if self.ingest(self.states) == 0:
+            return self._final_write() if finished else ReadAction()
+
+        hyps = self.session.ctc_hypotheses()
+        asr_tokens, _ = hyps["asr"]
+        st_tokens, _ = hyps["st"]
+        self.asr_text = spm_text(self.src_dict, asr_tokens)
+        self.st_text = spm_text(self.tgt_dict, st_tokens)
+
+        if not finished:
+            # READ while the dedup'd CTC hypotheses haven't grown by stride_n
+            if (len(asr_tokens) < self.src_ctc_prefix_length + cfg.stride_n or
+                    len(st_tokens) < self.tgt_ctc_prefix_length + cfg.stride_n):
+                return ReadAction()
+            self.src_ctc_prefix_length = max(len(asr_tokens),
+                                             self.src_ctc_prefix_length)
+            self.tgt_ctc_prefix_length = max(len(st_tokens),
+                                             self.tgt_ctc_prefix_length)
+            subword_tokens = ((len(st_tokens) - cfg.lagging_k1)
+                              // cfg.stride_n) * cfg.stride_n
+            if cfg.whole_word:
+                subword_tokens += 1
+            new_subword_tokens = subword_tokens - len(self.session.mt_tokens)
+            if new_subword_tokens < 1:
+                return ReadAction()
+        else:
+            new_subword_tokens = -1
+
+        prev_tokens = list(self.session.mt_tokens)
+        self.session.mt_decode(new_subword_tokens, max_len=cfg.max_len)
+
+        if cfg.whole_word and not finished:
+            toks = self.session.mt_tokens
+            j = 0
+            for j in range(len(toks) - 1, -1, -1):
+                if self.tgt_dict[toks[j]].startswith("▁"):
+                    break
+            self.session.mt_truncate(j)
+            if j == 0:
+                return ReadAction()
+
+        if self.session.mt_tokens == prev_tokens or (
+                not finished and
+                len(self.session.mt_tokens) <= len(prev_tokens)):
+            return self._final_write() if finished else ReadAction()
+
+        units = self.session.synthesize_units(self.unit_blank)
+        if len(units) == 0:
+            return self._final_write() if finished else ReadAction()
+        cur_units = units[len(self.units):]
+        if len(cur_units) < 1:
+            return self._final_write() if finished else ReadAction()
+
+        codes = [u - self.unit_dict.nspecial for u in units]
+        wav, dur = self.session.vocode(codes)
+        cur_wav_len = int(dur[-len(cur_units):].sum()) * 320
+        new_wav = wav[len(wav) - cur_wav_len:] if cur_wav_len > 0 else wav[:0]
+        if self.unfinished_wav is not None and len(self.unfinished_wav) > 0:
+            new_wav = np.concatenate([self.unfinished_wav, new_wav])
+            self.unfinished_wav = None
+        self.units = units
+
+        target_finished = finished and new_subword_tokens == -1
+        if target_finished:
+            self.states.target_finished = True
+        return WriteAction(
+            SpeechSegment(content=new_wav.tolist(), sample_rate=SAMPLE_RATE,
+                          finished=finished),
+            finished=target_finished)
+
+
+@AGENTS.register("streamspeech_s2tt")
+class StreamSpeechS2TTAgent(_StreamSpeechAgentBase, SpeechToTextAgent):
+    """Simultaneous speech-to-text translation: encoder + CTC policy + MT decoder
+    (`agent/speech_to_text.s2tt.streamspeech.agent.py:381-545`)."""
+
+    def __init__(self, engine, cfg, src_dict, tgt_dict, gcmvn=None):
+        _StreamSpeechAgentBase.__init__(self, engine, cfg, src_dict, tgt_dict,
+                                        gcmvn)
+        SpeechToTextAgent.__init__(self)
+
+    def reset(self):
+        super().reset()
+        self.reset_stream()
+        self.emitted_text = ""
+
+    def policy(self):
+        cfg = self.cfg
+        finished = self.states.source_finished
+        if self.ingest(self.states) == 0:
+            if finished:
+                self.states.target_finished = True
+                return WriteAction(TextSegment(content="", finished=True),
+                                   finished=True)
+            return ReadAction()
+
+        hyps = self.session.ctc_hypotheses()
+        asr_tokens, _ = hyps["asr"]
+        st_tokens, _ = hyps["st"]
+
+        if not finished:
+            if (len(asr_tokens) < self.src_ctc_prefix_length + cfg.stride_n or
+                    len(st_tokens) < self.tgt_ctc_prefix_length + cfg.stride_n):
+                return ReadAction()
+            self.src_ctc_prefix_length = max(len(asr_tokens),
+                                             self.src_ctc_prefix_length)
+            self.tgt_ctc_prefix_length = max(len(st_tokens),
+                                             self.tgt_ctc_prefix_length)
+            subword_tokens = ((len(st_tokens) - cfg.lagging_k1)
+                              // cfg.stride_n) * cfg.stride_n
+            new_subword_tokens = subword_tokens - len(self.session.mt_tokens)
+            if new_subword_tokens < 1:
+                return ReadAction()
+        else:
+            new_subword_tokens = -1
+
+        prev = list(self.session.mt_tokens)
+        self.session.mt_decode(new_subword_tokens, max_len=cfg.max_len)
+        if self.session.mt_tokens == prev and not finished:
+            return ReadAction()
+
+        full_text = spm_text(self.tgt_dict, self.session.mt_tokens)
+        new_text = full_text[len(self.emitted_text):].strip() \
+            if full_text.startswith(self.emitted_text) else full_text
+        self.emitted_text = full_text
+        if not new_text and not finished:
+            return ReadAction()
+        if finished:
+            self.states.target_finished = True
+        return WriteAction(TextSegment(content=new_text, finished=finished),
+                           finished=finished)
+
+
+@AGENTS.register("streamspeech_asr")
+class StreamSpeechASRAgent(_StreamSpeechAgentBase, SpeechToTextAgent):
+    """Streaming ASR: emit the ASR-CTC text diff each chunk
+    (`agent/speech_to_text.asr.streamspeech.agent.py:385-433`)."""
+
+    def __init__(self, engine, cfg, src_dict, gcmvn=None):
+        _StreamSpeechAgentBase.__init__(self, engine, cfg, src_dict, src_dict,
+                                        gcmvn)
+        SpeechToTextAgent.__init__(self)
+
+    def reset(self):
+        super().reset()
+        self.reset_stream()
+        self.emitted_text = ""
+
+    def policy(self):
+        finished = self.states.source_finished
+        self.ingest(self.states)
+        asr_tokens, _ = self.session.ctc_hypotheses()["asr"]
+        full_text = spm_text(self.src_dict, asr_tokens)
+        new_text = full_text[len(self.emitted_text):].strip() \
+            if full_text.startswith(self.emitted_text) else full_text
+        if not new_text and not finished:
+            return ReadAction()
+        self.emitted_text = full_text
+        if finished:
+            self.states.target_finished = True
+        return WriteAction(TextSegment(content=new_text, finished=finished),
+                           finished=finished)

@@ -1,0 +1,85 @@
+"""End-to-end simultaneous S2ST: tiny random model + vocoder driven through the
+evaluator on synthetic audio (the analogue of the reference's example-data smoke
+run, SURVEY §4)."""
+
+import jax
+import numpy as np
+import pytest
+
+from streamspeech_tpu.agents.streamspeech import (
+    StreamSpeechAgentConfig,
+    StreamSpeechASRAgent,
+    StreamSpeechS2STAgent,
+    StreamSpeechS2TTAgent,
+)
+from streamspeech_tpu.dictionary import Dictionary
+from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel, init_params
+from streamspeech_tpu.models.vocoder import CodeGenerator
+from streamspeech_tpu.runtime.session import StreamSpeechEngine
+from streamspeech_tpu.train.synthetic import tiny_config
+from tests.test_vocoder import tiny_cfg as tiny_vocoder_cfg
+
+
+def make_dicts(text_vocab, unit_count):
+    d = Dictionary()
+    for i in range(text_vocab - 4):
+        d.add_symbol("▁w" + str(i))
+    units = Dictionary.units(unit_count)
+    units.add_blank()
+    return d, units
+
+
+@pytest.fixture(scope="module")
+def stack():
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    voc_cfg = tiny_vocoder_cfg()
+    voc_cfg["num_embeddings"] = 20  # = tiny unit vocab (24) - 4 specials... 20
+    vocoder = CodeGenerator(voc_cfg)
+    import jax.numpy as jnp
+    voc_vars = vocoder.init(jax.random.PRNGKey(1), jnp.zeros((1, 4), jnp.int32),
+                            max_frames=8)
+    engine = StreamSpeechEngine(model, variables, vocoder, voc_vars,
+                                max_enc_frames=64, max_mt_tokens=32,
+                                mt_buckets=(8, 16, 32),
+                                unit_buckets=(16, 32, 64))
+    src_dict, unit_dict = make_dicts(cfg.mt_decoder.vocab_size, 19)
+    tgt_dict = src_dict
+    return cfg, engine, src_dict, tgt_dict, unit_dict
+
+
+def test_s2st_agent_through_evaluator(stack, tmp_path):
+    cfg, engine, src_dict, tgt_dict, unit_dict = stack
+    agent_cfg = StreamSpeechAgentConfig(source_segment_size=320)
+    assert agent_cfg.chunk_size == 8 and agent_cfg.conv_chunk_size == 8
+    agent = StreamSpeechS2STAgent(engine, agent_cfg, src_dict, tgt_dict,
+                                  unit_dict)
+    ev = SentenceLevelEvaluator(agent, source_segment_size=320,
+                                quality_metrics=[], output_dir=str(tmp_path))
+    rng = np.random.RandomState(0)
+    sources = [list(rng.uniform(-0.3, 0.3, 16000)),
+               list(rng.uniform(-0.3, 0.3, 24000))]
+    refs = ["dummy reference", "dummy reference"]
+    scores = ev(sources, refs)
+    # at least the bookkeeping must be well-formed; emission depends on random
+    # weights, so just require completion + finite latency when emitted
+    for ins in ev.instances.values():
+        assert ins.finish_prediction
+        if ins.delays:
+            assert all(d <= ins.source_length for d in ins.delays)
+    assert "AL" in scores and "RTF" in scores
+
+
+def test_asr_and_s2tt_agents(stack, tmp_path):
+    cfg, engine, src_dict, tgt_dict, unit_dict = stack
+    agent_cfg = StreamSpeechAgentConfig(source_segment_size=320)
+    rng = np.random.RandomState(1)
+    src = [list(rng.uniform(-0.3, 0.3, 12000))]
+    for agent in [StreamSpeechASRAgent(engine, agent_cfg, src_dict),
+                  StreamSpeechS2TTAgent(engine, agent_cfg, src_dict, tgt_dict)]:
+        ev = SentenceLevelEvaluator(agent, source_segment_size=320,
+                                    quality_metrics=["BLEU"])
+        scores = ev(src, ["a b"])
+        assert ev.instances[0].finish_prediction
