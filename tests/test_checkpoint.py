@@ -1,0 +1,165 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.config import OptimizationConfig
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel, init_params
+from streamspeech_tpu.train.checkpoint import (
+    export_fairseq_streamspeech,
+    import_fairseq_streamspeech,
+    import_hifigan_vocoder,
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from streamspeech_tpu.train.synthetic import tiny_config
+from streamspeech_tpu.train.trainer import TrainState, make_optimizer
+
+
+def tree_equal(a, b):
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+
+
+def test_orbax_roundtrip_and_rotation(tmp_path):
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizationConfig(update_freq=1))
+    state = TrainState.create(variables, tx)
+    for step in range(4):
+        save_checkpoint(str(tmp_path), step, state, config={"a": 1}, keep_last=2)
+    ckpts = sorted(p.name for p in tmp_path.glob("checkpoint_*"))
+    assert ckpts == ["checkpoint_2", "checkpoint_3"]
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_3")
+    restored = load_checkpoint(latest_checkpoint(str(tmp_path)), target=state)
+    tree_equal(restored["params"], state.params)
+
+
+def torchify(sd):
+    import torch
+
+    return {k: torch.tensor(np.asarray(v)) for k, v in sd.items()}
+
+
+def test_fairseq_import_export_roundtrip(tmp_path):
+    import torch
+
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    params = jax.tree.map(np.asarray, variables["params"])
+    batch_stats = jax.tree.map(np.asarray, variables["batch_stats"])
+
+    sd = export_fairseq_streamspeech(params, batch_stats)
+    # spot-check reference names exist with torch layouts
+    assert "encoder.conformer_layers.0.self_attn.linear_q.weight" in sd
+    assert "target_unigram_decoder.layers.0.encoder_attn.k_proj.weight" in sd
+    assert "decoder.embed_tokens.weight" in sd
+    assert sd["encoder.subsample.conv_layers.0.weight"].shape[2] == 5  # [out,in,k]
+
+    pt = tmp_path / "model.pt"
+    torch.save({"model": torchify(sd), "cfg": {"arch": "streamspeech"}}, pt)
+    params2, bs2, cfg2 = import_fairseq_streamspeech(str(pt))
+    tree_equal(params, params2)
+    tree_equal(batch_stats, bs2)
+    assert cfg2["arch"] == "streamspeech"
+
+    # the imported tree must drive the model (structure compatibility)
+    out = model.apply({"params": params2, "batch_stats": bs2},
+                      jnp.zeros((1, 32, 80)), jnp.array([32]),
+                      jnp.array([[2, 5, 6]], dtype=jnp.int32), n2=1)
+    assert np.isfinite(np.asarray(out["unit_logits"])).all()
+
+
+def test_hifigan_import(tmp_path):
+    """Build a synthetic weight-normed torch generator state dict and import."""
+    import torch
+
+    from streamspeech_tpu.models.vocoder import CodeGenerator
+    from tests.test_vocoder import tiny_cfg
+
+    cfg = tiny_cfg()
+    voc = CodeGenerator(cfg)
+    variables = voc.init(jax.random.PRNGKey(0), jnp.zeros((1, 4), jnp.int32),
+                         max_frames=8)
+
+    rng = np.random.RandomState(0)
+
+    def wn(shape):
+        # produce weight_g/weight_v whose fold equals a known weight
+        w = rng.randn(*shape).astype(np.float32)
+        v = w.copy()
+        g = np.sqrt((v ** 2).reshape(v.shape[0], -1).sum(1)).reshape(
+            (-1,) + (1,) * (v.ndim - 1))
+        return w, v, g
+
+    sd = {}
+    emb = rng.randn(cfg["num_embeddings"], cfg["embedding_dim"]).astype(np.float32)
+    sd["dict.weight"] = emb
+    ch = cfg["upsample_initial_channel"]
+    w, v, g = wn((ch, cfg["model_in_dim"], 7))
+    sd["conv_pre.weight_v"], sd["conv_pre.weight_g"] = v, g
+    sd["conv_pre.bias"] = rng.randn(ch).astype(np.float32)
+    for i, (u, k) in enumerate(zip(cfg["upsample_rates"],
+                                   cfg["upsample_kernel_sizes"])):
+        cin, cout = ch // (2 ** i), ch // (2 ** (i + 1))
+        w, v, g = wn((cin, cout, k))
+        sd[f"ups.{i}.weight_v"], sd[f"ups.{i}.weight_g"] = v, g
+        sd[f"ups.{i}.bias"] = rng.randn(cout).astype(np.float32)
+    n_res = len(cfg["upsample_rates"]) * len(cfg["resblock_kernel_sizes"])
+    for r in range(n_res):
+        lvl = r // len(cfg["resblock_kernel_sizes"])
+        c = ch // (2 ** (lvl + 1))
+        kk = cfg["resblock_kernel_sizes"][r % len(cfg["resblock_kernel_sizes"])]
+        n_dil = len(cfg["resblock_dilation_sizes"][r % len(cfg["resblock_kernel_sizes"])])
+        for br in ("convs1", "convs2"):
+            for j in range(n_dil):
+                w, v, g = wn((c, c, kk))
+                sd[f"resblocks.{r}.{br}.{j}.weight_v"] = v
+                sd[f"resblocks.{r}.{br}.{j}.weight_g"] = g
+                sd[f"resblocks.{r}.{br}.{j}.bias"] = rng.randn(c).astype(np.float32)
+    cpost_in = ch // (2 ** len(cfg["upsample_rates"]))
+    w, v, g = wn((1, cpost_in, 7))
+    sd["conv_post.weight_v"], sd["conv_post.weight_g"] = v, g
+    sd["conv_post.bias"] = rng.randn(1).astype(np.float32)
+    dp = cfg["dur_predictor_params"]
+    sd["dur_predictor.conv1.0.weight"] = rng.randn(
+        dp["var_pred_hidden_dim"], dp["encoder_embed_dim"],
+        dp["var_pred_kernel_size"]).astype(np.float32)
+    sd["dur_predictor.conv1.0.bias"] = rng.randn(dp["var_pred_hidden_dim"]).astype(np.float32)
+    sd["dur_predictor.ln1.weight"] = np.ones(dp["var_pred_hidden_dim"], np.float32)
+    sd["dur_predictor.ln1.bias"] = np.zeros(dp["var_pred_hidden_dim"], np.float32)
+    sd["dur_predictor.conv2.0.weight"] = rng.randn(
+        dp["var_pred_hidden_dim"], dp["var_pred_hidden_dim"],
+        dp["var_pred_kernel_size"]).astype(np.float32)
+    sd["dur_predictor.conv2.0.bias"] = rng.randn(dp["var_pred_hidden_dim"]).astype(np.float32)
+    sd["dur_predictor.ln2.weight"] = np.ones(dp["var_pred_hidden_dim"], np.float32)
+    sd["dur_predictor.ln2.bias"] = np.zeros(dp["var_pred_hidden_dim"], np.float32)
+    sd["dur_predictor.proj.weight"] = rng.randn(1, dp["var_pred_hidden_dim"]).astype(np.float32)
+    sd["dur_predictor.proj.bias"] = rng.randn(1).astype(np.float32)
+
+    import json
+    ckpt = tmp_path / "g_00500000"
+    cfg_path = tmp_path / "config.json"
+    torch.save({"generator": torchify(sd)}, ckpt)
+    cfg_path.write_text(json.dumps(cfg))
+
+    imported, cfg2 = import_hifigan_vocoder(str(ckpt), str(cfg_path))
+    # structure must match the flax init tree
+    init_paths = {jax.tree_util.keystr(p)
+                  for p, _ in jax.tree_util.tree_flatten_with_path(variables)[0]}
+    imp_paths = {jax.tree_util.keystr(p)
+                 for p, _ in jax.tree_util.tree_flatten_with_path(imported)[0]}
+    assert init_paths == imp_paths, (
+        f"missing: {init_paths - imp_paths}\nextra: {imp_paths - init_paths}")
+    # folded weight-norm equals the original weight
+    np.testing.assert_allclose(
+        np.asarray(imported["params"]["generator"]["conv_pre_w"]),
+        sd["conv_pre.weight_v"].transpose(2, 1, 0), rtol=1e-5)
+    # and the imported vocoder runs
+    wav, n, dur = voc.apply(imported, jnp.array([[1, 2, 3]]), max_frames=12)
+    assert np.isfinite(np.asarray(wav)).all()
