@@ -1,0 +1,243 @@
+"""Training CLI — the fairseq-train equivalent (`fairseq_cli/train.py:44-300`).
+
+Differences: no process spawning (JAX SPMD owns devices); config through
+dataclasses + the same YAML data configs; checkpoints via orbax.
+
+Example (synthetic smoke run):
+  python -m streamspeech_tpu.cli.train --synthetic --max-update 20 \
+      --save-dir /tmp/ckpt --log-interval 5
+
+Real data:
+  python -m streamspeech_tpu.cli.train --data /path/fbank2unit \
+      --config-yaml config_gcmvn.yaml --multitask-config-yaml config_mtl.yaml \
+      --target-code-size 1000 --max-tokens 22000 --update-freq 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import random
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.config import (
+    MultitaskConfig,
+    OptimizationConfig,
+    S2SDataConfig,
+    StreamSpeechConfig,
+    to_dict,
+)
+from streamspeech_tpu.data.dataset import SpeechToSpeechDataset
+from streamspeech_tpu.dictionary import Dictionary
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel, init_params
+from streamspeech_tpu.parallel.mesh import make_mesh
+from streamspeech_tpu.train.checkpoint import (
+    latest_checkpoint,
+    load_checkpoint,
+    save_checkpoint,
+)
+from streamspeech_tpu.train.synthetic import synthetic_batch, tiny_config
+from streamspeech_tpu.train.trainer import (
+    batch_spec,
+    create_sharded_state,
+    make_optimizer,
+    make_train_step,
+)
+from streamspeech_tpu.utils.metrics import JsonProgress, metrics
+
+
+def add_args(p: argparse.ArgumentParser):
+    p.add_argument("--data", type=str, default=None)
+    p.add_argument("--config-yaml", type=str, default="config_gcmvn.yaml")
+    p.add_argument("--multitask-config-yaml", type=str, default=None)
+    p.add_argument("--train-subset", type=str, default="train")
+    p.add_argument("--valid-subset", type=str, default="dev")
+    p.add_argument("--target-code-size", type=int, default=1000)
+    p.add_argument("--max-tokens", type=int, default=22000)
+    p.add_argument("--max-sentences", type=int, default=0)
+    p.add_argument("--update-freq", type=int, default=2)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--warmup-updates", type=int, default=10000)
+    p.add_argument("--warmup-init-lr", type=float, default=1e-7)
+    p.add_argument("--clip-norm", type=float, default=1.0)
+    p.add_argument("--max-update", type=int, default=100000)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--save-dir", type=str, default="checkpoints")
+    p.add_argument("--save-interval-updates", type=int, default=1000)
+    p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--log-interval", type=int, default=100)
+    p.add_argument("--validate-interval-updates", type=int, default=1000)
+    # streaming-mask training (train.simul-s2st.sh)
+    p.add_argument("--k1", type=int, default=0)
+    p.add_argument("--n1", type=int, default=1)
+    p.add_argument("--k2", type=int, default=0)
+    p.add_argument("--n2", type=int, default=-1)
+    p.add_argument("--chunk-size", type=int, default=8)
+    p.add_argument("--multichunk", action="store_true", default=False)
+    p.add_argument("--ctc-upsample-rate", type=int, default=25)
+    p.add_argument("--encoder-layers", type=int, default=12)
+    # parallelism
+    p.add_argument("--tp", type=int, default=1, help="model-parallel size")
+    p.add_argument("--fsdp", action="store_true", default=False)
+    # smoke testing
+    p.add_argument("--synthetic", action="store_true", default=False,
+                   help="train on synthetic data with a tiny model")
+    return p
+
+
+def build_model_config(args, dicts) -> StreamSpeechConfig:
+    if args.synthetic:
+        return tiny_config()
+    cfg = StreamSpeechConfig.simul_s2st()
+    cfg.encoder.layers = args.encoder_layers
+    cfg.unit_decoder.ctc_upsample_rate = args.ctc_upsample_rate
+    cfg.unit_decoder.vocab_size = len(dicts["units"])
+    cfg.mt_decoder.vocab_size = len(dicts["target_unigram"])
+    cfg.source_unigram_vocab = len(dicts["source_unigram"])
+    cfg.ctc_target_unigram_vocab = len(dicts["ctc_target_unigram"])
+    return cfg
+
+
+def load_task(args):
+    """Dictionaries + datasets from the data dir (reference task setup,
+    `fairseq/fairseq/tasks/speech_to_speech.py:212-290`)."""
+    data = Path(args.data)
+    unit_dict = Dictionary.units(args.target_code_size)
+    unit_dict.add_blank()
+    dicts = {"units": unit_dict}
+    mt_cfg = MultitaskConfig.load(str(data / args.multitask_config_yaml)) \
+        if args.multitask_config_yaml else MultitaskConfig()
+    data_cfg = S2SDataConfig.load(str(data / args.config_yaml))
+    for name, task in mt_cfg.tasks.items():
+        dicts[name] = Dictionary.load(task.dict_path)
+
+    def make_split(split):
+        manifest = data / f"{split}.tsv"
+        if not manifest.exists():
+            return None
+        targets = {}
+        for name, task in mt_cfg.tasks.items():
+            t_path = Path(task.data) / f"{split}.tsv"
+            if not t_path.exists():
+                t_path = data / name / f"{split}.tsv"
+            if t_path.exists():
+                targets[name] = SpeechToSpeechDataset.load_multitask_targets(
+                    str(t_path), dicts[name])
+        return SpeechToSpeechDataset(str(manifest), unit_dict, data_cfg,
+                                     targets, split=split)
+
+    return dicts, make_split(args.train_subset), make_split(args.valid_subset)
+
+
+def main(argv=None):
+    args = add_args(argparse.ArgumentParser()).parse_args(argv)
+    rng = random.Random(args.seed)
+    np.random.seed(args.seed)
+
+    if args.synthetic:
+        dicts = None
+        model_cfg = tiny_config()
+        train_ds = valid_ds = None
+    else:
+        dicts, train_ds, valid_ds = load_task(args)
+        model_cfg = build_model_config(args, dicts)
+
+    model = StreamSpeechModel(model_cfg)
+    variables = init_params(model, jax.random.PRNGKey(args.seed))
+    n_params = sum(x.size for x in jax.tree.leaves(variables["params"]))
+
+    opt = OptimizationConfig(
+        lr=args.lr, warmup_updates=args.warmup_updates,
+        warmup_init_lr=args.warmup_init_lr, clip_norm=args.clip_norm,
+        update_freq=args.update_freq, max_tokens=args.max_tokens,
+        max_update=args.max_update)
+    tx = make_optimizer(opt)
+    step_fn = make_train_step(model, tx,
+                              unit_blank=model_cfg.unit_decoder.vocab_size - 1)
+
+    mesh = make_mesh(model=args.tp)
+    state = create_sharded_state(variables, tx, mesh, fsdp=args.fsdp,
+                                 tp=args.tp > 1)
+    if args.save_dir:
+        Path(args.save_dir).mkdir(parents=True, exist_ok=True)
+    progress = JsonProgress(log_file=str(Path(args.save_dir) / "train.log")
+                            if args.save_dir else None)
+    progress.log({"event": "init", "params": n_params,
+                  "devices": len(jax.devices()),
+                  "mesh": dict(mesh.shape)}, tag="setup", step=0)
+
+    # resume
+    ckpt = latest_checkpoint(args.save_dir)
+    if ckpt:
+        restored = load_checkpoint(ckpt, target=state)
+        import dataclasses as dc
+        state = dc.replace(state, params=restored["params"],
+                           batch_stats=restored["batch_stats"],
+                           opt_state=restored["opt_state"],
+                           step=restored["step"])
+        progress.log({"event": "resumed", "from": ckpt}, tag="setup")
+
+    def batch_iterator(epoch):
+        if args.synthetic:
+            for i in range(10000):
+                yield synthetic_batch(model_cfg, batch=4, frames=64,
+                                      seed=epoch * 10000 + i)
+        else:
+            for idx in train_ds.batches(args.max_tokens, args.max_sentences,
+                                        shuffle_seed=args.seed + epoch):
+                b = train_ds.collate(idx)
+                b.pop("id", None)
+                yield {k: jnp.asarray(v) for k, v in b.items()}
+
+    num_updates = int(state.step)
+    epoch = 0
+    t_last = time.perf_counter()
+    while num_updates < args.max_update:
+        epoch += 1
+        for batch in batch_iterator(epoch):
+            if num_updates >= args.max_update:
+                break
+            # multichunk randomization (`speech_to_speech_ctc_asr_st_criterion.py:149-168`)
+            if args.multichunk:
+                chunk = rng.choice([8, 16, 24, 32, 99999])
+                conv_chunk = rng.choice([8, 16])
+                chunk = min(chunk, conv_chunk) if chunk < 999 else chunk
+            else:
+                chunk, conv_chunk = args.chunk_size, min(args.chunk_size, 16)
+            n2 = args.n2 if args.n2 >= 0 else rng.randint(
+                1, 1 + int(batch["prev_output_tokens_mt"].shape[1]))
+            batch = dict(batch, n2=jnp.asarray(n2, jnp.int32))
+            batch = jax.tree.map(lambda x, s: jax.device_put(x, s), batch,
+                                 batch_spec(mesh, batch))
+            state, m = step_fn(state, batch, jax.random.PRNGKey(
+                args.seed * 100003 + num_updates), chunk_size=chunk,
+                conv_chunk_size=conv_chunk)
+            num_updates = int(state.step)
+            sample_size = float(m["sample_size"])
+            metrics.log_scalar("loss", float(m["loss_mean"]))
+            metrics.log_scalar("unit_ctc", float(m["unit_ctc_loss"]) / sample_size)
+            metrics.log_scalar("grad_norm", float(m["grad_norm"]))
+            metrics.log_scalar("overflow", float(m["overflow"]))
+            if num_updates % args.log_interval == 0:
+                stats = metrics.get_smoothed_values("default")
+                dt = time.perf_counter() - t_last
+                stats["ups"] = args.log_interval / dt if dt > 0 else 0.0
+                t_last = time.perf_counter()
+                progress.log(stats, tag="train", step=num_updates)
+                metrics.reset_scope("default")
+            if args.save_dir and num_updates % args.save_interval_updates == 0:
+                save_checkpoint(args.save_dir, num_updates, state,
+                                config=to_dict(model_cfg),
+                                keep_last=args.keep_last)
+    if args.save_dir:
+        save_checkpoint(args.save_dir, num_updates, state,
+                        config=to_dict(model_cfg), keep_last=args.keep_last)
+    progress.log({"event": "done"}, tag="train", step=num_updates)
+
+
+if __name__ == "__main__":
+    main()

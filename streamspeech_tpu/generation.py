@@ -1,0 +1,211 @@
+"""Offline generation: ASR/ST CTC greedy + MT beam search + NAR unit CTC.
+
+Behavioral reference: `researches/ctc_unity/sequence_generator_multi_decoder_ctc.py:15-331`
+(the generator behind fairseq-generate for --task speech_to_speech_ctc) and the
+fairseq beam search (`fairseq/fairseq/sequence_generator.py`): cumulative
+log-probs, never select pad, EOS finalization with length-normalized scores
+(score / len^lenpen), beam candidates 2*beam per step.
+
+TPU design: the beam lives in the batch dimension of one jitted incremental step
+(KV caches of shape [beam, ...]); beam reordering gathers cache rows. The NAR
+unit pass is a single full-sequence forward (it is non-autoregressive).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.models.layers import KVCache
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+from streamspeech_tpu.ops.ctc import ctc_collapse
+
+PAD, EOS, UNK = 1, 2, 3
+
+
+@dataclass
+class BeamHypothesis:
+    tokens: List[int]
+    score: float
+
+
+def _gather_cache(cache: KVCache, order: jnp.ndarray) -> KVCache:
+    import dataclasses
+
+    return dataclasses.replace(cache, k=cache.k[order], v=cache.v[order])
+
+
+class OfflineGenerator:
+    """Greedy/beam offline inference over the full model."""
+
+    def __init__(self, model: StreamSpeechModel, variables: Dict,
+                 beam: int = 1, max_len: int = 200, len_penalty: float = 1.0,
+                 max_enc_frames: int = 1024):
+        self.model = model
+        self.variables = {"params": variables["params"],
+                          "batch_stats": variables.get("batch_stats", {})}
+        self.beam = beam
+        self.max_len = max_len
+        self.len_penalty = len_penalty
+        self.max_enc_frames = max_enc_frames
+        c = model.cfg
+
+        @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"))
+        def encode(variables, src, src_len, chunk, conv_chunk):
+            enc, lens = model.apply(variables, src, src_len, chunk, conv_chunk,
+                                    method=StreamSpeechModel.encode)
+            asr = jnp.argmax(model.apply(
+                variables, enc, method=lambda m, e: m.source_unigram_head(e)),
+                axis=-1)
+            st = jnp.argmax(model.apply(
+                variables, enc, method=lambda m, e: m.ctc_target_unigram_head(e)),
+                axis=-1)
+            return enc, lens, asr, st
+
+        self._encode = encode
+
+        @jax.jit
+        def fill_cross(variables, enc, cross):
+            return model.apply(variables, enc, cross,
+                               method=StreamSpeechModel.mt_fill_cross)
+
+        self._fill_cross = fill_cross
+
+        @jax.jit
+        def mt_step_logits(variables, tokens, offset, self_c, cross_c):
+            logits, _, self_c = model.apply(
+                variables, tokens, offset, self_c, cross_c,
+                method=StreamSpeechModel.mt_decoder_step)
+            return jax.nn.log_softmax(logits[:, -1].astype(jnp.float32)), self_c
+
+        self._mt_step = mt_step_logits
+
+        @jax.jit
+        def synthesize(variables, mt_tokens, enc_buf, enc_len):
+            ids, logits = model.apply(variables, mt_tokens, enc_buf, enc_len,
+                                      method=StreamSpeechModel.synthesize_units)
+            return ids
+
+        self._synthesize = synthesize
+
+    # ------------------------------------------------------------------
+
+    def beam_search_mt(self, enc: jnp.ndarray, enc_len: int) -> List[BeamHypothesis]:
+        """enc [1, T, C] → beam hypotheses (sorted best-first, no EOS token)."""
+        beam = self.beam
+        c = self.model.cfg.mt_decoder
+        h, dh = c.attention_heads, c.embed_dim // c.attention_heads
+        t_enc = enc.shape[1]
+        self_c = [KVCache.create(beam, self.max_len + 2, h, dh)
+                  for _ in range(c.layers)]
+        cross = [KVCache.create(beam, t_enc, h, dh) for _ in range(c.layers)]
+        enc_beam = jnp.repeat(enc, beam, axis=0)
+        cross = self._fill_cross(self.variables, enc_beam, cross)
+        # enc rows beyond enc_len are padding: truncate the cache index so the
+        # attention's key-validity mask hides them (KVCache.truncate).
+        cross = [kv.truncate(jnp.asarray(enc_len, jnp.int32)) for kv in cross]
+
+        tokens = np.full((beam, 1), EOS, np.int32)
+        scores = np.full((beam,), -1e9, np.float64)
+        scores[0] = 0.0
+        alive = np.ones((beam,), bool)
+        finished: List[BeamHypothesis] = []
+        hyps: List[List[int]] = [[] for _ in range(beam)]
+
+        for step in range(self.max_len):
+            lp, self_c = self._mt_step(self.variables,
+                                       jnp.asarray(tokens),
+                                       jnp.asarray(step, jnp.int32),
+                                       self_c, cross)
+            lp = np.asarray(lp, np.float64)  # [beam, V]
+            lp[:, PAD] = -np.inf
+            total = scores[:, None] + lp
+            total[~alive] = -np.inf
+            if step == 0:
+                total[1:] = -np.inf  # all beams identical at step 0
+            flat = total.reshape(-1)
+            top = np.argpartition(-flat, 2 * beam)[: 2 * beam]
+            top = top[np.argsort(-flat[top])]
+            new_tokens, new_scores, new_order, new_hyps = [], [], [], []
+            for cand in top:
+                b, v = divmod(int(cand), lp.shape[1])
+                if v == EOS:
+                    norm = flat[cand] / ((step + 1) ** self.len_penalty)
+                    finished.append(BeamHypothesis(hyps[b][:], float(norm)))
+                    continue
+                new_tokens.append(v)
+                new_scores.append(flat[cand])
+                new_order.append(b)
+                new_hyps.append(hyps[b] + [v])
+                if len(new_tokens) == beam:
+                    break
+            if not new_tokens or len(finished) >= beam:
+                break
+            while len(new_tokens) < beam:
+                new_tokens.append(PAD)
+                new_scores.append(-np.inf)
+                new_order.append(0)
+                new_hyps.append([])
+            order = jnp.asarray(new_order, jnp.int32)
+            self_c = [_gather_cache(kv, order) for kv in self_c]
+            tokens = np.asarray(new_tokens, np.int32)[:, None]
+            scores = np.asarray(new_scores, np.float64)
+            alive = np.isfinite(scores)
+            hyps = new_hyps
+
+        if not finished:
+            best = int(np.argmax(scores))
+            finished = [BeamHypothesis(hyps[best],
+                                       float(scores[best] /
+                                             max(len(hyps[best]), 1)
+                                             ** self.len_penalty))]
+        finished.sort(key=lambda x: -x.score)
+        return finished
+
+    # ------------------------------------------------------------------
+
+    def generate(self, feats: np.ndarray, chunk_size: Optional[int] = None,
+                 conv_chunk_size: Optional[int] = None) -> Dict:
+        """Full offline pass on one utterance: returns dict with asr/st token
+        lists, MT hypothesis, and unit sequence (dictionary ids)."""
+        t = feats.shape[0]
+        pad_t = -(-t // 32) * 32
+        src = np.zeros((1, pad_t, feats.shape[1]), np.float32)
+        src[0, :t] = feats
+        chunk = 99999 if chunk_size is None else chunk_size
+        conv_chunk = 99999 if conv_chunk_size is None else conv_chunk_size
+        enc, lens, asr_ids, st_ids = self._encode(
+            self.variables, jnp.asarray(src), jnp.asarray([t], jnp.int32),
+            chunk=chunk, conv_chunk=conv_chunk)
+        enc_len = int(lens[0])
+        asr_tokens, _ = ctc_collapse(np.asarray(asr_ids[0])[:enc_len], blank=0)
+        st_tokens, _ = ctc_collapse(np.asarray(st_ids[0])[:enc_len], blank=0)
+
+        hyps = self.beam_search_mt(enc, enc_len)
+        mt_tokens = hyps[0].tokens
+
+        # bucket the MT prefix to multiples of 8 to bound jit shape diversity
+        s = len(mt_tokens) + 1
+        s_pad = -(-s // 8) * 8
+        prev = np.full((1, s_pad), PAD, np.int32)
+        prev[0, 0] = EOS
+        prev[0, 1:s] = mt_tokens
+        unit_ids = self._synthesize(self.variables, jnp.asarray(prev),
+                                    enc, jnp.asarray(enc_len))
+        up = self.model.cfg.unit_decoder.ctc_upsample_rate
+        unit_blank = self.model.cfg.unit_decoder.vocab_size - 1
+        ids = np.asarray(unit_ids[0])[: s * up]
+        units, _ = ctc_collapse(ids, blank=unit_blank, pad=PAD)
+        units = [u for u in units if 4 <= u < unit_blank]
+        return {
+            "asr_tokens": asr_tokens,
+            "st_tokens": st_tokens,
+            "mt_tokens": mt_tokens,
+            "mt_score": hyps[0].score,
+            "units": units,
+        }

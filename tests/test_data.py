@@ -1,0 +1,68 @@
+import numpy as np
+
+from streamspeech_tpu.data.batching import batch_by_size, _batch_by_size_py, _load_native
+from streamspeech_tpu.data.dataset import SpeechToSpeechDataset
+from streamspeech_tpu.dictionary import Dictionary
+
+
+def test_native_batcher_matches_python():
+    rng = np.random.RandomState(0)
+    n = 500
+    num_tokens = rng.randint(10, 400, size=n).astype(np.int64)
+    indices = np.argsort(num_tokens).astype(np.int64)
+    for max_tokens, max_sent, mult in [(2000, 0, 8), (1000, 16, 8), (0, 4, 1)]:
+        a = batch_by_size(indices, num_tokens, max_tokens, max_sent, mult)
+        b = _batch_by_size_py(indices, num_tokens, max_tokens, max_sent, mult)
+        if _load_native() is not None:
+            assert [x.tolist() for x in a] == [x.tolist() for x in b]
+        # coverage: every index exactly once
+        flat = np.concatenate(a)
+        assert sorted(flat.tolist()) == sorted(indices.tolist())
+        # constraint: padded token budget respected
+        for batch in a:
+            if max_tokens and len(batch) > 1:
+                assert len(batch) * num_tokens[batch].max() <= max_tokens * 2
+            if max_sent:
+                assert len(batch) <= max_sent
+
+
+def make_manifest(tmp_path, n=6):
+    rng = np.random.RandomState(0)
+    lines = ["id\tsrc_audio\tsrc_n_frames\ttgt_audio\ttgt_n_frames"]
+    for i in range(n):
+        t = int(rng.randint(40, 120))
+        feats = rng.randn(t, 80).astype(np.float32)
+        np.save(tmp_path / f"utt{i}.npy", feats)
+        units = " ".join(str(int(u)) for u in rng.randint(0, 100, size=10))
+        lines.append(f"utt{i}\tutt{i}.npy\t{t}\t{units}\t10")
+    (tmp_path / "train.tsv").write_text("\n".join(lines))
+    mt_lines = ["id\ttgt_text"]
+    for i in range(n):
+        mt_lines.append(f"utt{i}\t▁a ▁b ▁c")
+    (tmp_path / "train_mt.tsv").write_text("\n".join(mt_lines))
+
+
+def test_dataset_collation(tmp_path):
+    make_manifest(tmp_path)
+    unit_dict = Dictionary.units(100)
+    unit_dict.add_blank()
+    text_dict = Dictionary()
+    for s in ["▁a", "▁b", "▁c"]:
+        text_dict.add_symbol(s)
+    mt = SpeechToSpeechDataset.load_multitask_targets(
+        str(tmp_path / "train_mt.tsv"), text_dict)
+    assert mt["utt0"] == [4, 5, 6]
+    ds = SpeechToSpeechDataset(
+        str(tmp_path / "train.tsv"), unit_dict,
+        multitask_targets={"target_unigram": mt, "source_unigram": mt,
+                           "ctc_target_unigram": mt})
+    assert len(ds) == 6
+    batches = ds.batches(max_tokens=300, bsz_mult=2)
+    assert sum(len(b) for b in batches) == 6
+    batch = ds.collate(batches[0])
+    b = len(batches[0])
+    assert batch["src_tokens"].shape[0] == b
+    assert batch["src_tokens"].shape[1] % 32 == 0
+    assert batch["prev_output_tokens_mt"][0, 0] == 2  # eos-prefixed
+    assert batch["target_units"].shape[1] == 11  # 10 units + eos
+    assert (batch["target_unit_lengths"] == 11).all()
