@@ -1,0 +1,111 @@
+"""Streaming evaluation CLI — the `simuleval` equivalent
+(`SimulEval/simuleval/cli.py:34-98`): wav list + target file → agent → quality +
+latency scores, instances.log, scores.tsv, emitted wavs.
+
+Example:
+  python -m streamspeech_tpu.cli.simuleval \
+      --source wav_list.txt --target target.txt \
+      --checkpoint ckpts/checkpoint_100 --agent s2st \
+      --source-segment-size 320 --output res/ \
+      --vocoder g_00500000 --vocoder-cfg config.json \
+      --src-dict spm_unigram_fr.txt --tgt-dict spm_unigram_en.txt
+"""
+
+from __future__ import annotations
+
+import argparse
+from pathlib import Path
+
+import numpy as np
+
+from streamspeech_tpu.agents.streamspeech import (
+    StreamSpeechAgentConfig,
+    StreamSpeechASRAgent,
+    StreamSpeechS2STAgent,
+    StreamSpeechS2TTAgent,
+)
+from streamspeech_tpu.dictionary import Dictionary
+from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator
+from streamspeech_tpu.ops.cmvn import GlobalCMVN
+from streamspeech_tpu.runtime.session import StreamSpeechEngine
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--source", type=str, required=True,
+                   help="newline-separated wav paths")
+    p.add_argument("--target", type=str, required=True)
+    p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--fairseq-checkpoint", type=str, default=None)
+    p.add_argument("--agent", choices=["s2st", "s2tt", "asr"], default="s2st")
+    p.add_argument("--source-segment-size", type=int, default=320)
+    p.add_argument("--src-dict", type=str, default=None)
+    p.add_argument("--tgt-dict", type=str, default=None)
+    p.add_argument("--target-code-size", type=int, default=1000)
+    p.add_argument("--gcmvn", type=str, default=None)
+    p.add_argument("--vocoder", type=str, default=None)
+    p.add_argument("--vocoder-cfg", type=str, default=None)
+    p.add_argument("--output", type=str, default=None)
+    p.add_argument("--lagging-k1", type=int, default=0)
+    p.add_argument("--stride-n", type=int, default=1)
+    p.add_argument("--continue-unfinished", action="store_true", default=False)
+    p.add_argument("--latency-metrics", nargs="*", default=None)
+    p.add_argument("--quality-metrics", nargs="*", default=None)
+    args = p.parse_args(argv)
+
+    from streamspeech_tpu.cli.generate import load_model
+
+    model, variables, cfg = load_model(args)
+
+    vocoder = voc_vars = None
+    if args.vocoder:
+        from streamspeech_tpu.models.vocoder import CodeGenerator
+        from streamspeech_tpu.train.checkpoint import import_hifigan_vocoder
+
+        voc_vars, voc_cfg = import_hifigan_vocoder(args.vocoder,
+                                                   args.vocoder_cfg)
+        vocoder = CodeGenerator(voc_cfg)
+
+    engine = StreamSpeechEngine(model, variables, vocoder, voc_vars)
+    src_dict = Dictionary.load(args.src_dict) if args.src_dict else Dictionary()
+    tgt_dict = Dictionary.load(args.tgt_dict) if args.tgt_dict else src_dict
+    unit_dict = Dictionary.units(args.target_code_size)
+    unit_dict.add_blank()
+    gcmvn = GlobalCMVN.from_npz(args.gcmvn) if args.gcmvn else None
+
+    agent_cfg = StreamSpeechAgentConfig(
+        source_segment_size=args.source_segment_size,
+        lagging_k1=args.lagging_k1, stride_n=args.stride_n,
+        whole_word=args.source_segment_size >= 640)
+    if args.agent == "s2st":
+        agent = StreamSpeechS2STAgent(engine, agent_cfg, src_dict, tgt_dict,
+                                      unit_dict, gcmvn)
+    elif args.agent == "s2tt":
+        agent = StreamSpeechS2TTAgent(engine, agent_cfg, src_dict, tgt_dict,
+                                      gcmvn)
+    else:
+        agent = StreamSpeechASRAgent(engine, agent_cfg, src_dict, gcmvn)
+
+    from streamspeech_tpu.data.dataset import load_audio_or_features
+
+    src_root = Path(args.source).parent
+    sources = []
+    for line in Path(args.source).read_text().splitlines():
+        if not line.strip():
+            continue
+        wav = load_audio_or_features(line.strip(), src_root)
+        sources.append(list(np.asarray(wav, np.float32)))
+    references = [ln for ln in Path(args.target).read_text().splitlines()]
+
+    ev = SentenceLevelEvaluator(
+        agent, source_segment_size=args.source_segment_size,
+        latency_metrics=args.latency_metrics,
+        quality_metrics=args.quality_metrics, output_dir=args.output)
+    scores = ev(sources, references,
+                continue_unfinished=args.continue_unfinished)
+    for k, v in scores.items():
+        print(f"{k}\t{v:.3f}" if v == v else f"{k}\tnan")
+
+
+if __name__ == "__main__":
+    main()
