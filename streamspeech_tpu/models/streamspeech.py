@@ -31,6 +31,7 @@ from streamspeech_tpu.models.transformer import (
     CTCTransformerUnitDecoder,
     TransformerDecoder,
     UniTransformerEncoder,
+    UniTransformerEncoderWithEmb,
     PAD,
 )
 from streamspeech_tpu.ops.masks import lengths_to_mask, streaming_allowed_from_ctc
@@ -62,13 +63,23 @@ class StreamSpeechModel(nn.Module):
                                                name="ctc_target_unigram_head")
         self.mt_decoder = TransformerDecoder(c.mt_decoder, dtype=self.dtype,
                                              name="mt_decoder")
-        self.synthesizer_encoder = (
-            UniTransformerEncoder(
+        if c.synthesizer_encoder_layers <= 0:
+            self.synthesizer_encoder = None
+        elif c.cascade:
+            # cascade variant: T2U consumes re-embedded MT OUTPUT tokens →
+            # standalone real-time TTS (`streamspeech_model_cascade.py:280-375`)
+            self.synthesizer_encoder = UniTransformerEncoderWithEmb(
+                c.mt_decoder.embed_dim, c.mt_decoder.ffn_embed_dim,
+                c.mt_decoder.attention_heads, c.synthesizer_encoder_layers,
+                c.mt_decoder.vocab_size, c.mt_decoder.dropout,
+                unidirectional=True, dtype=self.dtype,
+                name="synthesizer_encoder")
+        else:
+            self.synthesizer_encoder = UniTransformerEncoder(
                 c.mt_decoder.embed_dim, c.mt_decoder.ffn_embed_dim,
                 c.mt_decoder.attention_heads, c.synthesizer_encoder_layers,
                 c.mt_decoder.dropout, unidirectional=True, dtype=self.dtype,
                 name="synthesizer_encoder")
-            if c.synthesizer_encoder_layers > 0 else None)
         self.unit_decoder = CTCTransformerUnitDecoder(c.unit_decoder,
                                                       dtype=self.dtype,
                                                       name="unit_decoder")
@@ -117,10 +128,12 @@ class StreamSpeechModel(nn.Module):
                                               allowed_cross, deterministic)
         mt_valid = prev_output_tokens_mt != PAD
 
-        if self.synthesizer_encoder is not None:
-            t2u = self.synthesizer_encoder(mt_feats, mt_valid, deterministic)
-        else:
+        if self.synthesizer_encoder is None:
             t2u = mt_feats
+        elif c.cascade:
+            t2u = self.synthesizer_encoder(prev_output_tokens_mt, deterministic)
+        else:
+            t2u = self.synthesizer_encoder(mt_feats, mt_valid, deterministic)
 
         unit_logits, _ = self.unit_decoder(
             t2u, enc_valid=mt_valid,
@@ -185,10 +198,12 @@ class StreamSpeechModel(nn.Module):
         feats = self.mt_decoder.extract_features(prev_output_tokens_mt, enc,
                                                  enc_valid, None, True)
         mt_valid = prev_output_tokens_mt != PAD
-        if self.synthesizer_encoder is not None:
-            t2u = self.synthesizer_encoder(feats, mt_valid, True)
-        else:
+        if self.synthesizer_encoder is None:
             t2u = feats
+        elif self.cfg.cascade:
+            t2u = self.synthesizer_encoder(prev_output_tokens_mt, True)
+        else:
+            t2u = self.synthesizer_encoder(feats, mt_valid, True)
         unit_logits, _ = self.unit_decoder(t2u, enc_valid=mt_valid,
                                            deterministic=True)
         return jnp.argmax(unit_logits, axis=-1), unit_logits

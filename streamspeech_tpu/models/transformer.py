@@ -140,6 +140,49 @@ class UniTransformerEncoder(nn.Module):
         return self.layer_norm(x), new_caches
 
 
+class UniTransformerEncoderWithEmb(nn.Module):
+    """T2U encoder over re-embedded MT OUTPUT tokens — the cascade variant's
+    standalone incremental-TTS front
+    (`researches/ctc_unity/modules/transformer_encoder.py:147-240`, used by
+    `streamspeech_model_cascade.py:270-375` with the MT embedding table)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    num_layers: int
+    vocab_size: int
+    dropout: float = 0.0
+    unidirectional: bool = True
+    max_positions: int = 1024
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.embed_tokens = self.param("embed_tokens", token_embedding_init,
+                                       (self.vocab_size, self.embed_dim))
+        self.pos_table = jnp.asarray(
+            sinusoidal_embedding(self.max_positions, self.embed_dim, PAD))
+        self.embed_scale = math.sqrt(self.embed_dim)
+        self.layers = [
+            TransformerEncoderLayer(self.embed_dim, self.ffn_dim, self.num_heads,
+                                    self.dropout, normalize_before=True,
+                                    dtype=self.dtype, name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.dropout_module = nn.Dropout(self.dropout)
+
+    def __call__(self, tokens, deterministic=True):
+        positions = fairseq_positions(tokens)
+        x = self.embed_scale * jnp.take(self.embed_tokens, tokens, axis=0)
+        x = x + jnp.take(self.pos_table, positions, axis=0)
+        x = self.dropout_module(x, deterministic=deterministic)
+        key_valid = tokens != PAD
+        allowed = causal_allowed(tokens.shape[1]) if self.unidirectional else None
+        for layer in self.layers:
+            x, _ = layer(x, allowed, key_valid, deterministic)
+        return self.layer_norm(x)
+
+
 class TransformerDecoderLayer(nn.Module):
     """fairseq decoder layer; `extra["streaming_mask"]` routes to cross-attention
     (`transformer_layer.py:516`), here the ``allowed_cross`` argument."""

@@ -1,0 +1,59 @@
+import wave
+
+import numpy as np
+
+from streamspeech_tpu.cli.preprocess import main as pp_main
+from streamspeech_tpu.data.dataset import load_audio_or_features
+
+
+def write_wav(path, samples):
+    pcm = (np.clip(samples, -1, 1) * 32767).astype("<i2")
+    with wave.open(str(path), "wb") as f:
+        f.setnchannels(1)
+        f.setsampwidth(2)
+        f.setframerate(16000)
+        f.writeframes(pcm.tobytes())
+
+
+def test_preprocess_pipeline(tmp_path):
+    rng = np.random.RandomState(0)
+    for i in range(3):
+        write_wav(tmp_path / f"u{i}.wav", rng.uniform(-0.4, 0.4, 16000 + i * 800))
+    (tmp_path / "wav_list.txt").write_text(
+        "\n".join(str(tmp_path / f"u{i}.wav") for i in range(3)))
+
+    out = tmp_path / "fbank"
+    pp_main(["extract-fbank", "--wav-list", str(tmp_path / "wav_list.txt"),
+             "--output", str(out), "--zip"])
+    manifest = out / "manifest.tsv"
+    lines = manifest.read_text().splitlines()
+    assert len(lines) == 4
+    # zip-offset refs load correctly
+    _, ref, n = lines[1].split("\t")
+    feats = load_audio_or_features(ref, out)
+    assert feats.shape == (int(n), 80)
+
+    pp_main(["gcmvn", "--manifest", str(manifest), "--output",
+             str(tmp_path / "gcmvn.npz")])
+    stats = np.load(tmp_path / "gcmvn.npz")
+    assert stats["mean"].shape == (80,) and (stats["std"] > 0).all()
+
+    # kmeans train + quantize on the fbank features themselves
+    feat_list = tmp_path / "feats.txt"
+    feat_list.write_text("\n".join(str(p) for p in sorted(out.glob("*.npy"))))
+    pp_main(["kmeans-train", "--feature-list", str(feat_list), "--clusters",
+             "8", "--iterations", "5", "--output", str(tmp_path / "km.npy")])
+    km = np.load(tmp_path / "km.npy")
+    assert km.shape == (8, 80)
+    pp_main(["kmeans-quantize", "--feature-list", str(feat_list),
+             "--centroids", str(tmp_path / "km.npy"), "--output",
+             str(tmp_path / "units.txt"), "--dedup"])
+    units = (tmp_path / "units.txt").read_text().splitlines()
+    assert len(units) == 3
+    assert all(0 <= int(u) < 8 for u in units[0].split())
+
+    pp_main(["make-manifest", "--fbank-manifest", str(manifest), "--units",
+             str(tmp_path / "units.txt"), "--output",
+             str(tmp_path / "train.tsv")])
+    rows = (tmp_path / "train.tsv").read_text().splitlines()
+    assert rows[0].startswith("id\t") and len(rows) == 4

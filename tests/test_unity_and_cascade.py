@@ -1,0 +1,50 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+from streamspeech_tpu.models.unity import UnitYModel, unity_loss
+from streamspeech_tpu.train.synthetic import synthetic_batch, tiny_config
+
+
+def test_unity_forward_and_loss():
+    cfg = tiny_config()
+    model = UnitYModel(cfg)
+    b, t, s, u = 2, 64, 6, 9
+    src = jnp.asarray(np.random.RandomState(0).randn(b, t, 80), jnp.float32)
+    lens = jnp.array([64, 48])
+    mt = jnp.array([[2, 5, 6, 7, 8, 9], [2, 5, 6, 2, 1, 1]], jnp.int32)
+    units_prev = jnp.full((b, u), 5, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), src, lens, mt, units_prev,
+                           use_running_stats=False)
+    out = model.apply(variables, src, lens, mt, units_prev)
+    assert out["unit_logits"].shape == (b, u, cfg.unit_decoder.vocab_size)
+
+    batch = {
+        "target_units": jnp.full((b, u), 6, jnp.int32),
+        "mt_targets": mt,
+        "src_text": jnp.full((b, 4), 5, jnp.int32),
+        "src_text_lengths": jnp.full((b,), 4, jnp.int32),
+        "tgt_text": jnp.full((b, 4), 5, jnp.int32),
+        "tgt_text_lengths": jnp.full((b,), 4, jnp.int32),
+    }
+    m = unity_loss(out, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_cascade_forward():
+    cfg = tiny_config()
+    cfg.cascade = True
+    model = StreamSpeechModel(cfg)
+    b, t, s = 1, 64, 5
+    src = jnp.zeros((b, t, 80))
+    lens = jnp.array([t])
+    mt = jnp.array([[2, 5, 6, 7, 8]], jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), src, lens, mt, n2=1,
+                           use_running_stats=False)
+    # cascade synthesizer has its own embedding table
+    assert "embed_tokens" in variables["params"]["synthesizer_encoder"]
+    out = model.apply(variables, src, lens, mt, n2=1)
+    up = cfg.unit_decoder.ctc_upsample_rate
+    assert out["unit_logits"].shape == (b, s * up, cfg.unit_decoder.vocab_size)
+    assert np.isfinite(np.asarray(out["unit_logits"])).all()
