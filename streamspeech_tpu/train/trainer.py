@@ -76,23 +76,41 @@ def make_train_step(
     tx: optax.GradientTransformation,
     unit_blank: int,
     weights: CriterionWeights = CriterionWeights(),
+    rdrop_alpha: float = 0.0,
 ) -> Callable:
     """Returns train_step(state, batch, rng, chunk_size, conv_chunk_size, n2).
 
     chunk sizes are static (multichunk draws them host-side per batch — a handful
     of compiled variants); n2 is a traced scalar (drawn host-side, any value).
+    rdrop_alpha > 0 enables R-Drop (`criterions/label_smoothed_cross_entropy_
+    with_rdrop.py` semantics): two dropout passes, symmetric KL on MT logits.
     """
 
-    def loss_fn(params, batch_stats, batch, rng, chunk_size, conv_chunk_size):
+    def forward(params, batch_stats, batch, rng, chunk_size, conv_chunk_size):
         variables = {"params": params, "batch_stats": batch_stats}
-        out, mutated = model.apply(
+        return model.apply(
             variables, batch["src_tokens"], batch["src_lengths"],
             batch["prev_output_tokens_mt"],
             chunk_size=chunk_size, conv_chunk_size=conv_chunk_size,
             k1=0, n1=1, k2=0, n2=batch["n2"],
             streaming=True, deterministic=False, use_running_stats=False,
             rngs={"dropout": rng}, mutable=["batch_stats"])
+
+    def loss_fn(params, batch_stats, batch, rng, chunk_size, conv_chunk_size):
+        out, mutated = forward(params, batch_stats, batch, rng, chunk_size,
+                               conv_chunk_size)
         metrics = streamspeech_loss(out, batch, unit_blank, weights)
+        if rdrop_alpha > 0:
+            rng2 = jax.random.fold_in(rng, 1)
+            out2, _ = forward(params, batch_stats, batch, rng2, chunk_size,
+                              conv_chunk_size)
+            p = jax.nn.log_softmax(out["mt_logits"].astype(jnp.float32), -1)
+            q = jax.nn.log_softmax(out2["mt_logits"].astype(jnp.float32), -1)
+            valid = (batch["mt_targets"] != 1)[..., None]
+            kl = 0.5 * jnp.sum(
+                (jnp.exp(p) * (p - q) + jnp.exp(q) * (q - p)) * valid)
+            metrics = dict(metrics, rdrop_kl=kl,
+                           loss=metrics["loss"] + rdrop_alpha * kl)
         loss = metrics["loss"] / metrics["sample_size"].astype(jnp.float32)
         return loss, (metrics, mutated["batch_stats"])
 
