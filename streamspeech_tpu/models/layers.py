@@ -143,7 +143,12 @@ class MultiHeadAttention(nn.Module):
         key_valid: Optional[jnp.ndarray] = None,
         cache: Optional[KVCache] = None,
         deterministic: bool = True,
+        cache_is_cross: bool = False,
     ):
+        """cache semantics: for SELF-attention (cache_is_cross=False) the new
+        queries' K/V are appended before attending; for CROSS-attention
+        (cache_is_cross=True) the cache holds pre-projected encoder K/V (filled
+        by fill_cross_cache) and is read-only here."""
         h = self.num_heads
         dh = self.embed_dim // h
         scale = dh ** -0.5
@@ -152,7 +157,7 @@ class MultiHeadAttention(nn.Module):
 
         q = self.q_proj(query).reshape(b, s, h, dh)
 
-        if cache is not None and key_value is None:
+        if cache is not None and not cache_is_cross and key_value is None:
             # incremental self-attention: append new K/V, attend over prefix
             k_new = self.k_proj(kv_in).reshape(b, s, h, dh)
             v_new = self.v_proj(kv_in).reshape(b, s, h, dh)

@@ -232,8 +232,9 @@ class TransformerDecoderLayer(nn.Module):
         if self.normalize_before:
             x = self.encoder_attn_layer_norm(x)
         if cross_cache is not None:
-            x, _ = self.encoder_attn(x, enc, allowed_cross, enc_valid, cross_cache,
-                                     deterministic)
+            x, _ = self.encoder_attn(x, None, allowed_cross, enc_valid,
+                                     cross_cache, deterministic,
+                                     cache_is_cross=True)
         else:
             x, _ = self.encoder_attn(x, enc, allowed_cross, enc_valid, None,
                                      deterministic)

@@ -82,17 +82,33 @@ def test_incremental_mt_decode_matches_offline_teacher_forcing(setup):
     session.push_features(feats, chunk, conv_chunk, finished=True)
     hyp = session.mt_decode(max_new_tokens=6)
 
-    # offline check: greedy chain via the full offline forward (no streaming mask)
-    def offline_next(prefix):
+    # offline check at the LOGIT level (argmax alone once hid a cross-cache
+    # dispatch bug): teacher-force the same prefix through the offline forward
+    # and require the whole logit row to match the incremental step's.
+    def offline_logits(prefix):
         toks = jnp.asarray([[EOS] + prefix], dtype=jnp.int32)
         out = model.apply(variables, feats[None], jnp.asarray([64]), toks,
                           chunk_size=chunk, conv_chunk_size=conv_chunk,
                           streaming=False)
-        return int(np.argmax(np.asarray(out["mt_logits"][0, -1])))
+        return np.asarray(out["mt_logits"][0, -1])
 
+    # replay the incremental decode step-by-step on a fresh session, capturing
+    # logits via the engine's step function
+    s2 = engine.new_session()
+    s2.push_features(feats, chunk, conv_chunk, finished=True)
+    import jax.numpy as jnp2
     prefix = []
     for tok in hyp:
-        assert offline_next(prefix) == tok
+        feed = prefix[-1] if prefix else EOS
+        logits, _, new_self = model.apply(
+            engine.variables, jnp2.asarray([[feed]], jnp2.int32),
+            jnp2.asarray(len(prefix), jnp2.int32), s2.mt_self, s2.mt_cross,
+            method=type(model).mt_decoder_step)
+        s2.mt_self = new_self
+        inc_row = np.asarray(logits[0, -1])
+        off_row = offline_logits(prefix)
+        np.testing.assert_allclose(inc_row, off_row, rtol=2e-4, atol=2e-4)
+        assert int(np.argmax(inc_row)) == tok
         prefix.append(tok)
 
 
