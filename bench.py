@@ -29,8 +29,11 @@ def main():
     src = jax.random.normal(rng, (b, frames, 80), jnp.float32)
     lens = jnp.full((b,), frames, jnp.int32)
     mt = jnp.full((b, mt_len), 4, jnp.int32)
-    variables = model.init({"params": rng}, src, lens, mt, n2=1,
-                           use_running_stats=False)
+    # init under jit: unjitted init dispatches hundreds of tiny ops, which is
+    # minutes over this environment's remote-TPU tunnel
+    init = jax.jit(lambda r: model.init({"params": r}, src, lens, mt, n2=1,
+                                        use_running_stats=False))
+    variables = init(rng)
     variables = {"params": variables["params"],
                  "batch_stats": variables.get("batch_stats", {})}
 

@@ -179,6 +179,39 @@ class StreamSpeechModel(nn.Module):
         return self.mt_decoder.step(tokens_new, position_offset, self_caches,
                                     cross_caches, None)
 
+    def mt_decode_greedy(self, first_token, offset, budget, self_caches,
+                         cross_caches, max_steps: int = 16):
+        """Greedy-decode up to ``budget`` (≤ max_steps) MT tokens in ONE jitted
+        call via lax.scan — a single host↔device round trip per policy call
+        instead of one per token (the reference pays a full generator run per
+        chunk). Returns (tokens [B, max_steps] PAD-padded, n_emitted [B],
+        hit_eos [B], self_caches'). Iterations after stop append garbage KV
+        entries; the caller truncates the caches to offset + n_emitted.
+        """
+        eos, pad = 2, 1
+
+        def body(carry, i):
+            feed, emitted, stopped, caches = carry
+            logits, _, caches = self.mt_decoder.step(
+                feed[:, None], offset + i, caches, cross_caches, None)
+            nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
+            nxt = jnp.where(nxt == pad, eos, nxt)  # never emit pad
+            valid = (~stopped) & (nxt != eos) & (emitted < budget)
+            emitted = emitted + valid.astype(jnp.int32)
+            stopped = stopped | (nxt == eos) | (emitted >= budget)
+            feed = jnp.where(valid, nxt, feed)
+            out = jnp.where(valid, nxt, jnp.full_like(nxt, pad))
+            return (feed, emitted, stopped, caches), (out, nxt == eos)
+
+        b = first_token.shape[0]
+        init = (first_token.astype(jnp.int32),
+                jnp.zeros((b,), jnp.int32),
+                jnp.zeros((b,), bool),
+                self_caches)
+        (feed, emitted, stopped, caches), (outs, eos_seen) = jax.lax.scan(
+            body, init, jnp.arange(max_steps, dtype=jnp.int32))
+        return outs.T, emitted, jnp.any(eos_seen, axis=0), caches
+
     def mt_fill_cross(self, enc_new, cross_caches):
         """Append newly-encoded frames into the MT decoder's cross-attn caches
         (the reference appends grown encoder keys, `transformer_layer.py:490-506`)."""

@@ -99,6 +99,16 @@ class StreamSpeechEngine:
 
         self._mt_step = mt_step
 
+        @functools.partial(jax.jit, static_argnames=("max_steps",))
+        def mt_decode_greedy(variables, first, offset, budget, self_caches,
+                             cross_caches, max_steps):
+            return model.apply(variables, first, offset, budget, self_caches,
+                               cross_caches, max_steps,
+                               method=StreamSpeechModel.mt_decode_greedy)
+
+        self._mt_decode_greedy = mt_decode_greedy
+        self.max_decode_per_call = 16
+
         @functools.partial(jax.jit, static_argnames=())
         def synthesize(variables, mt_tokens, enc_buf, enc_len):
             ids, logits = model.apply(variables, mt_tokens, enc_buf, enc_len,
@@ -217,27 +227,31 @@ class StreamingSession:
         when max_new_tokens < 0). Returns the full hypothesis (no leading eos).
         """
         budget = max_new_tokens if max_new_tokens >= 0 else max_len
-        produced = 0
         # Invariant at entry/exit: mt_steps == len(mt_tokens) — the KV caches hold
         # feeds of [eos] + tokens[:-1]; the newest token is always un-fed. This is
         # the same invariant the reference maintains via whole-word KV pruning
-        # (`agent.py:554-574`); on an EOS prediction we roll the feed back so the
-        # next call re-predicts that position against the grown encoder.
-        while produced < budget and len(self.mt_tokens) < max_len:
+        # (`agent.py:554-574`); on an EOS prediction the feed that predicted it is
+        # rolled back so the next call re-predicts against the grown encoder.
+        # Decoding runs in scanned multi-token jit calls: ONE device round trip
+        # per ≤ max_decode_per_call tokens.
+        while budget > 0 and len(self.mt_tokens) < max_len:
+            chunk_budget = min(budget, self.e.max_decode_per_call,
+                               max_len - len(self.mt_tokens))
             feed = self.mt_tokens[-1] if self.mt_tokens else EOS
-            tok = jnp.asarray([[feed]], dtype=jnp.int32)
-            nxt, self.mt_self = self.e._mt_step(
-                self.e.variables, tok, jnp.asarray(self.mt_steps, jnp.int32),
-                self.mt_self, self.mt_cross)
-            self.mt_steps += 1
-            nxt = int(nxt[0])
-            if nxt == EOS:
-                self.mt_steps -= 1
-                self.mt_self = [kv.truncate(jnp.asarray(self.mt_steps, jnp.int32))
-                                for kv in self.mt_self]
+            toks, emitted, hit_eos, self.mt_self = self.e._mt_decode_greedy(
+                self.e.variables, jnp.asarray([feed], jnp.int32),
+                jnp.asarray(self.mt_steps, jnp.int32),
+                jnp.asarray(chunk_budget, jnp.int32),
+                self.mt_self, self.mt_cross,
+                max_steps=self.e.max_decode_per_call)
+            n = int(emitted[0])
+            self.mt_tokens.extend(np.asarray(toks[0])[:n].tolist())
+            self.mt_steps += n
+            self.mt_self = [kv.truncate(jnp.asarray(self.mt_steps, jnp.int32))
+                            for kv in self.mt_self]
+            budget -= n
+            if bool(hit_eos[0]) or n == 0:
                 break
-            self.mt_tokens.append(nxt)
-            produced += 1
         return list(self.mt_tokens)
 
     def mt_truncate(self, keep: int):
