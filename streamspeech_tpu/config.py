@@ -45,6 +45,8 @@ class EncoderConfig:
     chunk_size: Optional[int] = 8  # post-subsample frames per chunk; None = offline
     unidirectional: bool = True
     no_scale_embedding: bool = False
+    # target-speaker conditioning (`chunk_unity/models/s2s_conformer.py:37-65`)
+    speaker_embed_dim: Optional[int] = None
 
 
 @dataclass

@@ -204,6 +204,11 @@ class ChunkConformerEncoder(nn.Module):
                        for i in range(c.layers)]
         self.embed_scale = 1.0 if c.no_scale_embedding else math.sqrt(c.embed_dim)
         self.dropout_module = nn.Dropout(c.dropout)
+        # speaker-embedding projection (`s2s_conformer.py:44-47`): concat the
+        # target-speaker vector to every frame and project back to embed_dim
+        self.spk_emb_proj = (nn.Dense(c.embed_dim, dtype=self.dtype,
+                                      name="spk_emb_proj")
+                             if c.speaker_embed_dim else None)
 
     def __call__(
         self,
@@ -213,6 +218,7 @@ class ChunkConformerEncoder(nn.Module):
         conv_chunk_size: Optional[int] = None,  # conv chunk (reference forces 8/16)
         deterministic: bool = True,
         use_running_stats: bool = True,
+        tgt_speaker: Optional[jnp.ndarray] = None,  # [B, speaker_embed_dim]
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Returns (encoder_out [B, T', C], out_lengths [B])."""
         c = self.cfg
@@ -237,6 +243,11 @@ class ChunkConformerEncoder(nn.Module):
         for layer in self.layers:
             x = layer(x, pos_emb, allowed, key_valid, conv_chunk_size,
                       deterministic, use_running_stats)
+        if self.spk_emb_proj is not None and tgt_speaker is not None:
+            spk = jnp.broadcast_to(tgt_speaker[:, None, :],
+                                   (x.shape[0], x.shape[1],
+                                    tgt_speaker.shape[-1]))
+            x = self.spk_emb_proj(jnp.concatenate([x, spk.astype(x.dtype)], -1))
         return x, out_lengths
 
     # ------------------------------------------------------------------

@@ -1,0 +1,56 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.config import DecoderConfig
+from streamspeech_tpu.models.s2t import S2TConformerModel, s2t_loss
+from streamspeech_tpu.models.translatotron import (
+    Translatotron2Model,
+    translatotron2_loss,
+)
+from streamspeech_tpu.train.synthetic import tiny_config
+
+
+def test_s2t_model():
+    cfg = tiny_config()
+    dec = DecoderConfig(embed_dim=32, ffn_embed_dim=64, layers=2,
+                        attention_heads=2, vocab_size=30)
+    model = S2TConformerModel(cfg.encoder, dec, ctc_vocab=30)
+    b, t, s = 2, 64, 5
+    src = jnp.asarray(np.random.RandomState(0).randn(b, t, 80), jnp.float32)
+    lens = jnp.array([64, 48])
+    prev = jnp.full((b, s), 4, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), src, lens, prev,
+                           use_running_stats=False)
+    out = model.apply(variables, src, lens, prev, chunk_size=8,
+                      conv_chunk_size=8)
+    assert out["logits"].shape == (b, s, 30)
+    m = s2t_loss(out, jnp.full((b, s), 5, jnp.int32),
+                 ctc_targets=jnp.full((b, 4), 6, jnp.int32),
+                 ctc_target_lengths=jnp.full((b,), 4, jnp.int32),
+                 ctc_weight=0.5)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_translatotron2_model():
+    cfg = tiny_config()
+    model = Translatotron2Model(cfg, mel_dim=20)
+    b, t, s, f = 1, 64, 4, 10
+    src = jnp.zeros((b, t, 80))
+    lens = jnp.array([t])
+    mt = jnp.array([[2, 5, 6, 7]], jnp.int32)
+    prev_spec = jnp.zeros((b, f, 20))
+    variables = model.init(jax.random.PRNGKey(0), src, lens, mt, prev_spec,
+                           use_running_stats=False)
+    out = model.apply(variables, src, lens, mt, prev_spec)
+    assert out["spec_after"].shape == (b, f, 20)
+    assert out["eos_logits"].shape == (b, f)
+
+    batch = {
+        "target_spec": jnp.ones((b, f, 20)),
+        "spec_valid": jnp.ones((b, f), bool),
+        "eos_targets": jnp.zeros((b, f)).at[:, -1].set(1),
+        "mt_targets": mt,
+    }
+    m = translatotron2_loss(out, batch)
+    assert np.isfinite(float(m["loss"]))
