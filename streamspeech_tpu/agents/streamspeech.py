@@ -177,15 +177,14 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
                 len(self.session.mt_tokens) <= len(prev_tokens)):
             return self._final_write() if finished else ReadAction()
 
-        units = self.session.synthesize_units(self.unit_blank)
+        # fused device-side emission: unit synthesis + CTC collapse + vocoder in
+        # one round trip (runtime/session.py emit)
+        units, wav, dur = self.session.emit()
         if len(units) == 0:
             return self._final_write() if finished else ReadAction()
         cur_units = units[len(self.units):]
         if len(cur_units) < 1:
             return self._final_write() if finished else ReadAction()
-
-        codes = [u - self.unit_dict.nspecial for u in units]
-        wav, dur = self.session.vocode(codes)
         cur_wav_len = int(dur[-len(cur_units):].sum()) * 320
         new_wav = wav[len(wav) - cur_wav_len:] if cur_wav_len > 0 else wav[:0]
         if self.unfinished_wav is not None and len(self.unfinished_wav) > 0:

@@ -129,6 +129,42 @@ class StreamSpeechEngine:
 
             self._vocode = vocode
 
+            unit_blank = model.cfg.unit_decoder.vocab_size - 1
+            nspecial = 4
+
+            @functools.partial(jax.jit,
+                               static_argnames=("valid_tokens_cap",
+                                                "max_frames"))
+            def emit(variables, voc_vars, mt_tokens, enc_buf, enc_len,
+                     n_tokens, valid_tokens_cap, max_frames):
+                """Fused emission: NAR unit synthesis → device-side CTC collapse
+                → duration prediction → waveform. ONE host round trip for the
+                whole reference emission path (`agent.py:638-751`)."""
+                from streamspeech_tpu.ops.ctc import ctc_collapse_device
+
+                ids = model.apply(variables, mt_tokens, enc_buf, enc_len,
+                                  method=StreamSpeechModel.synthesize_units)[0]
+                up = model.cfg.unit_decoder.ctc_upsample_rate
+                ids = ids[0][: valid_tokens_cap * up]
+                # hide positions beyond the real prefix + non-unit symbols
+                pos_valid = jnp.arange(ids.shape[0]) < n_tokens * up
+                is_unit = (ids >= nspecial) & (ids < unit_blank)
+                ids = jnp.where(pos_valid & is_unit, ids, unit_blank)
+                units, count = ctc_collapse_device(ids, blank=unit_blank)
+                codes = jnp.where(units == unit_blank, 0, units - nspecial)
+                capacity = max_frames // self.max_dur_per_unit
+                count = jnp.minimum(count, capacity)
+                codes = codes[None, :capacity]
+                dur_mask = (jnp.arange(capacity) < count).astype(jnp.int32)
+                dur = vocoder.apply(voc_vars, codes,
+                                    method=CodeGenerator.predict_durations)
+                dur = dur * dur_mask[None]
+                wav, n_samples, dur = vocoder.apply(voc_vars, codes, dur,
+                                                    max_frames)
+                return units, count, wav[0], n_samples[0], dur[0]
+
+            self._emit = emit
+
     def new_session(self) -> "StreamingSession":
         return StreamingSession(self)
 
@@ -283,6 +319,29 @@ class StreamingSession:
         ids = np.asarray(ids[0])[:valid]
         units, _ = ctc_collapse(ids, blank=unit_blank, pad=PAD)
         return [u for u in units if u not in (0, EOS)]
+
+    def emit(self) -> Tuple[List[int], np.ndarray, np.ndarray]:
+        """Fused emission path (one device round trip): full-prefix unit
+        synthesis, device-side CTC collapse, duration-aware vocoding.
+        Returns (unit dict-ids, full wav, per-unit durations)."""
+        assert self.e.vocoder is not None, "no vocoder configured"
+        tokens = [EOS] + self.mt_tokens
+        s = _bucket(len(tokens), self.e.mt_buckets)
+        padded = np.full((1, s), PAD, np.int32)
+        padded[0, : len(tokens)] = tokens
+        u_bucket = _bucket(min(len(tokens) *
+                               self.e.model.cfg.unit_decoder.ctc_upsample_rate,
+                               self.e.unit_buckets[-1]), self.e.unit_buckets)
+        max_frames = u_bucket * self.e.max_dur_per_unit
+        units, count, wav, n_samples, dur = self.e._emit(
+            self.e.variables, self.e.vocoder_variables, jnp.asarray(padded),
+            self.enc_buf, jnp.asarray(self.enc_len),
+            jnp.asarray(len(tokens), jnp.int32),
+            valid_tokens_cap=s, max_frames=max_frames)
+        count = int(count)
+        unit_ids = np.asarray(units)[:count].tolist()
+        n = int(n_samples)
+        return unit_ids, np.asarray(wav[:n]), np.asarray(dur[:count])
 
     def vocode(self, unit_codes: List[int]) -> Tuple[np.ndarray, np.ndarray]:
         """unit_codes: raw vocoder codes (0-based). Returns (wav, durations)."""
