@@ -1,0 +1,126 @@
+"""Pallas TPU kernel: fused relative-position (Transformer-XL/espnet) attention.
+
+Motivation: the XLA path of RelPosMultiHeadAttention materializes the position
+score tensor bd_full [B, H, T, 2T-1] in HBM before the band gather — at the
+training shapes (T≈1500, 12 layers) that is hundreds of MB of HBM traffic per
+step. This kernel keeps everything in VMEM per (batch, head, q-block):
+
+  ac   = (q + u) @ K^T                       [BQ, T]     (MXU)
+  band = (q + v) @ P_slice^T                 [BQ, T+BQ-1](MXU)
+  bd   = band-shift(band)                    [BQ, T]     (pure reshapes)
+  out  = softmax((ac + bd) * scale + bias) @ V           (MXU)
+
+The band shift is a diagonal shear done with tpu.dynamic_rotate (pltpu.roll
+with a per-row stride).
+
+Numerics match ops/..RelPosMultiHeadAttention to fp32 rounding (tested in
+interpret mode on CPU and compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e9
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, out_ref, *,
+            scale: float, bq: int, t: int):
+    qi = pl.program_id(2)
+    qu = qu_ref[0, 0]            # [BQ, D]
+    qv = qv_ref[0, 0]
+    k = k_ref[0, 0]              # [T, D]
+    v = v_ref[0, 0]
+
+    ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)  # [BQ, T]
+
+    # p covers relative positions r = (t-1) ... -(t-1) (zero-padded on the right
+    # to a lane-aligned width); the block's queries are absolute rows qi*BQ + a,
+    # so the needed band starts at table index (t-1) - (qi*BQ + BQ - 1) and
+    # spans a lane-aligned W_pad >= T + BQ - 1 entries.
+    w_pad = _round_up(t + bq - 1, 128)
+    start = t - bq - qi * bq  # == (t-1) - (qi*bq + bq - 1)
+    p_slice = p_ref[0, pl.ds(start, w_pad), :]                 # [W_pad, D]
+    band = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
+
+    # band shift: bd[a, b] = band[a, (BQ-1) - a + b] — a diagonal shear via
+    # tpu.dynamic_rotate (pltpu.roll with per-row stride): row a rotates left by
+    # (BQ-1-a) == right by (W_pad - BQ + 1) + a. No wraparound reaches the kept
+    # [:, :t] region (b + BQ-1-a <= t+bq-2 < W_pad for b < t).
+    sheared = pltpu.roll(band, shift=w_pad - bq + 1, axis=1, stride=1,
+                         stride_axis=0)
+    bd = sheared[:, :t]
+
+    scores = (ac + bd) * scale + bias_ref[0, 0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+def relpos_attention(q_u, q_v, k, v, p, bias, scale: float,
+                     block_q: int = 128, interpret: bool = False):
+    """q_u/q_v/k/v: [B, H, T, D]; p: [H, 2T-1, D] (per-head projected rel-pos
+    table, index 0 ↔ r = T-1); bias: [B, 1 or H, T, T] additive f32 (chunk mask
+    + key validity). Returns [B, H, T, D] (fp32 accumulation)."""
+    b, h, t, d = q_u.shape
+    bq = min(block_q, t)
+    while t % bq != 0:
+        bq //= 2
+    bq = max(bq, 1)
+    grid = (b, h, t // bq)
+
+    # pad the rel-pos table so every block's [start, start + W_pad) slice is in
+    # range (max start = t - bq)
+    w_pad = -(-(t + bq - 1) // 128) * 128
+    r_pad = (t - bq) + w_pad
+    if p.shape[1] < r_pad:
+        p = jnp.pad(p, ((0, 0), (0, r_pad - p.shape[1]), (0, 0)))
+
+    bias_h = bias.shape[1]
+
+    return pl.pallas_call(
+        functools.partial(_kernel, scale=scale, bq=bq, t=t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, p.shape[1], d), lambda bb, hh, qq: (hh, 0, 0)),
+            pl.BlockSpec((1, 1, bq, t),
+                         lambda bb, hh, qq: (bb, hh if bias_h > 1 else 0, qq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+        interpret=interpret,
+    )(q_u, q_v, k, v, p, bias)
+
+
+def relpos_attention_reference(q_u, q_v, k, v, p, bias, scale: float):
+    """Direct XLA computation (the path the kernel replaces), for testing."""
+    b, h, t, d = q_u.shape
+    ac = jnp.einsum("bhsd,bhtd->bhst", q_u, k,
+                    preferred_element_type=jnp.float32)
+    bd_full = jnp.einsum("bhsd,hrd->bhsr", q_v, p,
+                         preferred_element_type=jnp.float32)
+    i = jnp.arange(t)[:, None]
+    j = jnp.arange(t)[None, :]
+    u = (t - 1) - (i - j)
+    bd = jnp.take_along_axis(bd_full, u[None, None].repeat(h, 1), axis=-1)
+    scores = (ac + bd) * scale + bias
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
