@@ -268,21 +268,40 @@ class RelPosMultiHeadAttention(nn.Module):
         q_u = q + self.pos_bias_u[None, None]
         q_v = q + self.pos_bias_v[None, None]
 
-        # Fused Pallas path (TPU, offline/no-cache, eval): ~30x faster than the
-        # XLA path below at T≈1k by never materializing bd_full [B,H,T,2T-1].
-        # Training still uses XLA (the kernel has no dropout/backward yet).
-        if (cache is None and deterministic and s == t and r == 2 * t - 1
-                and _pallas_ok(t, dh)):
-            from streamspeech_tpu.ops.pallas_attention import relpos_attention
+        # Fused Pallas path (TPU, no-cache full self-attention): ~30x faster
+        # forward and ~140x faster fwd+bwd than the XLA path below at T≈1k by
+        # never materializing bd_full [B,H,T,2T-1]. Eval uses it by default;
+        # training uses it when STREAMSPEECH_PALLAS_TRAIN=1 (the kernel applies
+        # no attention-prob dropout, a regularization difference vs the
+        # reference — hence opt-in).
+        import os as _os
+        pallas_train = bool(_os.environ.get("STREAMSPEECH_PALLAS_TRAIN"))
+        if (cache is None and (deterministic or pallas_train) and s == t
+                and r == 2 * t - 1 and _pallas_ok(t, dh)):
+            from streamspeech_tpu.ops.pallas_attention import (
+                relpos_attention_trainable,
+            )
 
             bias = mask_to_bias(allowed, key_valid)
             if bias is None:
                 bias = jnp.zeros((1, 1, t, t), jnp.float32)
             bias = jnp.broadcast_to(bias, (b,) + bias.shape[1:])
-            out = relpos_attention(
-                q_u.transpose(0, 2, 1, 3), q_v.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
-                p.transpose(1, 0, 2), bias, scale=scale)
+            block_q = 128
+            bq = min(block_q, t)
+            while t % bq != 0:
+                bq //= 2
+            w_pad = -(-(t + bq - 1) // 128) * 128
+            r_pad = (t - bq) + w_pad
+            p_bhd = p.transpose(1, 0, 2)
+            if p_bhd.shape[1] < r_pad:
+                p_bhd = jnp.pad(p_bhd,
+                                ((0, 0), (0, r_pad - p_bhd.shape[1]), (0, 0)))
+            out = relpos_attention_trainable(
+                q_u.transpose(0, 2, 1, 3).astype(jnp.float32),
+                q_v.transpose(0, 2, 1, 3).astype(jnp.float32),
+                k.transpose(0, 2, 1, 3).astype(jnp.float32),
+                v.transpose(0, 2, 1, 3).astype(jnp.float32),
+                p_bhd.astype(jnp.float32), bias, scale, block_q)
             out = out.transpose(0, 2, 1, 3).astype(x.dtype)
             out = self.out_proj(out.reshape(b, s, self.embed_dim))
             return (out, None)

@@ -109,6 +109,188 @@ def relpos_attention(q_u, q_v, k, v, p, bias, scale: float,
     )(q_u, q_v, k, v, p, bias)
 
 
+# ---------------------------------------------------------------------------
+# backward kernels (custom_vjp) — same block structure; gradients recompute the
+# block's probs instead of saving [B,H,T,T] residuals.
+# dscores = probs * (g @ V^T - rowsum(g @ V^T * probs)) * scale
+# dq_u = dscores @ K;  dK += dscores^T @ q_u;  dv += probs^T @ g
+# dband = unshear(dscores);  dq_v = dband @ P_slice;  dP_slice += dband^T @ q_v
+# ---------------------------------------------------------------------------
+
+
+def _recompute_probs_and_dscores(qu, qv, k, v, p_slice, bias, g, *, scale, bq,
+                                 t, w_pad):
+    ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
+    band = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
+    sheared = pltpu.roll(band, shift=w_pad - bq + 1, axis=1, stride=1,
+                         stride_axis=0)
+    scores = (ac + sheared[:, :t]) * scale + bias
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    dprobs = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True)) * scale
+    return probs, dscores
+
+
+def _unshear(dscores, *, bq, t, w_pad):
+    """Inverse of the forward shear: dband[a, w] = dscores[a, w - (BQ-1-a)].
+    Row-flip → per-row right-rotate by the row index → row-flip. Mosaic has no
+    `rev`, so the flips are exchange-matrix matmuls (one tiny MXU op each)."""
+    padded = jnp.pad(dscores, ((0, 0), (0, w_pad - t)))
+    i = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (bq, bq), 1)
+    exch = jnp.where(i + j == bq - 1, 1.0, 0.0).astype(jnp.float32)
+    flipped = jnp.dot(exch, padded, preferred_element_type=jnp.float32)
+    rolled = pltpu.roll(flipped, shift=0, axis=1, stride=1, stride_axis=0)
+    return jnp.dot(exch, rolled, preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel_a(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
+                  dqu_ref, dqv_ref, dk_ref, dv_ref, *, scale, bq, t):
+    qi = pl.program_id(2)
+    w_pad = _round_up(t + bq - 1, 128)
+    start = t - bq - qi * bq
+    qu, qv = qu_ref[0, 0], qv_ref[0, 0]
+    k, v, g = k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+    p_slice = p_ref[0, pl.ds(start, w_pad), :]
+    probs, dscores = _recompute_probs_and_dscores(
+        qu, qv, k, v, p_slice, bias_ref[0, 0], g, scale=scale, bq=bq, t=t,
+        w_pad=w_pad)
+    dband = _unshear(dscores, bq=bq, t=t, w_pad=w_pad)
+    dqu_ref[0, 0] = jnp.dot(dscores, k, preferred_element_type=jnp.float32)
+    dqv_ref[0, 0] = jnp.dot(dband, p_slice,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jnp.dot(dscores.T, qu, preferred_element_type=jnp.float32)
+    dv_ref[0, 0] += jnp.dot(probs.T, g, preferred_element_type=jnp.float32)
+
+
+def _bwd_kernel_p(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
+                  dp_ref, *, scale, bq, t):
+    bb = pl.program_id(2)
+    qi = pl.program_id(1)
+    w_pad = _round_up(t + bq - 1, 128)
+    start = t - bq - qi * bq
+    qu, qv = qu_ref[0, 0], qv_ref[0, 0]
+    k, v, g = k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+    p_slice = p_ref[0, pl.ds(start, w_pad), :]
+    _, dscores = _recompute_probs_and_dscores(
+        qu, qv, k, v, p_slice, bias_ref[0, 0], g, scale=scale, bq=bq, t=t,
+        w_pad=w_pad)
+    dband = _unshear(dscores, bq=bq, t=t, w_pad=w_pad)
+
+    @pl.when(bb == 0)
+    def _():
+        dp_ref[0, 0] = jnp.zeros_like(dp_ref[0, 0])
+
+    dp_ref[0, 0] += jnp.dot(dband.T, qv, preferred_element_type=jnp.float32)
+
+
+def _relpos_bwd(block_q, res, g):
+    q_u, q_v, k, v, p_padded, bias, scale = res
+    b, h, t, d = q_u.shape
+    bq = min(block_q, t)
+    while t % bq != 0:
+        bq //= 2
+    bq = max(bq, 1)
+    nq = t // bq
+    w_pad = _round_up(t + bq - 1, 128)
+    bias_h = bias.shape[1]
+    g = g.astype(jnp.float32)
+
+    kern_a = functools.partial(_bwd_kernel_a, scale=scale, bq=bq, t=t)
+    dqu, dqv, dk, dv = pl.pallas_call(
+        kern_a,
+        grid=(b, h, nq),  # qi fastest → dk/dv blocks accumulate over q
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, p_padded.shape[1], d),
+                         lambda bb, hh, qq: (hh, 0, 0)),
+            pl.BlockSpec((1, 1, bq, t),
+                         lambda bb, hh, qq: (bb, hh if bias_h > 1 else 0, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * 2,
+        interpret=_relpos_bwd.interpret,
+    )(q_u, q_v, k, v, p_padded, bias, g)
+
+    kern_p = functools.partial(_bwd_kernel_p, scale=scale, bq=bq, t=t)
+    dp_blocks = pl.pallas_call(
+        kern_p,
+        grid=(h, nq, b),  # b fastest → dp blocks accumulate over batch
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda hh, qq, bb: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda hh, qq, bb: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, qq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda hh, qq, bb: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, p_padded.shape[1], d),
+                         lambda hh, qq, bb: (hh, 0, 0)),
+            pl.BlockSpec((1, 1, bq, t),
+                         lambda hh, qq, bb: (bb, hh if bias_h > 1 else 0, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda hh, qq, bb: (bb, hh, qq, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, w_pad, d),
+                               lambda hh, qq, bb: (hh, qq, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((h, nq, w_pad, d), jnp.float32),
+        interpret=_relpos_bwd.interpret,
+    )(q_u, q_v, k, v, p_padded, bias, g)
+
+    # scatter-add the per-q-block dP_slice windows back into the table
+    dp = jnp.zeros_like(p_padded)
+    for qq in range(nq):
+        start = t - bq - qq * bq
+        seg = jax.lax.dynamic_slice(dp, (0, start, 0), (h, w_pad, d))
+        dp = jax.lax.dynamic_update_slice(dp, seg + dp_blocks[:, qq],
+                                          (0, start, 0))
+    return dqu, dqv, dk, dv, dp, None
+
+
+_relpos_bwd.interpret = False
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def relpos_attention_trainable(q_u, q_v, k, v, p_padded, bias, scale, block_q):
+    """Differentiable fused rel-pos attention: Pallas forward AND backward.
+    p_padded must already be padded to (t - bq) + W_pad rows (see
+    relpos_attention's padding); gradients flow to q_u, q_v, k, v, p_padded."""
+    return _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, scale, block_q)
+
+
+def _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, scale, block_q):
+    return relpos_attention(q_u, q_v, k, v, p_padded, bias, scale=scale,
+                            block_q=block_q,
+                            interpret=_relpos_bwd.interpret)
+
+
+def _relpos_fwd_rule(q_u, q_v, k, v, p_padded, bias, scale, block_q):
+    out = _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, scale, block_q)
+    return out, (q_u, q_v, k, v, p_padded, bias, scale)
+
+
+def _relpos_bwd_rule(scale_unused, block_q, res, g):
+    return _relpos_bwd(block_q, res, g)
+
+
+relpos_attention_trainable.defvjp(_relpos_fwd_rule, _relpos_bwd_rule)
+
+
 def relpos_attention_reference(q_u, q_v, k, v, p, bias, scale: float):
     """Direct XLA computation (the path the kernel replaces), for testing."""
     b, h, t, d = q_u.shape
