@@ -1,0 +1,336 @@
+"""Hidden Markov Transformer (HMT) — simultaneous text MT with latent
+translating moments (ICLR'23), the reference's text-MT research baseline.
+
+Behavioral reference: `researches/hmt/hmt_model.py:794-1014` and
+`researches/hmt/hmt_label_smoothed_cross_entropy.py:53-330`:
+
+- Every target position i has K candidate translating moments
+  cands[i, k] = first_read + i + k (`hmt_model.py:1001-1005`), clamped to the
+  source length.
+- The decoder runs all K states in parallel (target embeddings repeated ×K);
+  state (i, k) cross-attends to the first cands[i,k] source tokens and
+  self-attends to states of previous tokens with moments ≤ its own.
+- Transition head: p(translate now | keep reading) from
+  cat(decoder state, cumulative-mean encoder state at the moment)
+  (`hmt_model.py:826-855`); the last state must translate.
+- Training: HMM forward algorithm marginalizing over monotone state paths
+  (emission = target log-prob per state), + per-state CE, + expected-latency
+  loss (`hmt_label_smoothed_cross_entropy.py:142-241,296-330`).
+
+JAX notes: the alpha recursion is a lax.scan over target positions; everything
+else is batched einsum/masking with static shapes.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from streamspeech_tpu.config import DecoderConfig
+from streamspeech_tpu.models.transformer import (
+    PAD,
+    TransformerDecoderLayer,
+    UniTransformerEncoderWithEmb,
+    fairseq_positions,
+    sinusoidal_embedding,
+    token_embedding_init,
+)
+
+NEG = -1e9
+
+
+def build_cands(tgt_len: int, first_read: int, k: int) -> jnp.ndarray:
+    """[tgt_len, K]: translating moment candidates (source tokens read)."""
+    i = jnp.arange(tgt_len, dtype=jnp.int32)[:, None]
+    return first_read + i + jnp.arange(k, dtype=jnp.int32)[None, :]
+
+
+class HMTDecoder(nn.Module):
+    cfg: DecoderConfig
+    first_read: int = 3
+    cands_per_token: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = self.param("embed_tokens", token_embedding_init,
+                                       (c.vocab_size, c.embed_dim))
+        self.pos_table = jnp.asarray(
+            sinusoidal_embedding(c.max_target_positions, c.embed_dim, PAD))
+        self.embed_scale = c.embed_dim ** 0.5
+        self.layers = [
+            TransformerDecoderLayer(c.embed_dim, c.ffn_embed_dim,
+                                    c.attention_heads, c.dropout,
+                                    normalize_before=True, dtype=self.dtype,
+                                    name=f"layers_{i}")
+            for i in range(c.layers)
+        ]
+        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.transition_proj = nn.Dense(2, use_bias=False, dtype=self.dtype,
+                                        name="transition_proj")
+        self.dropout_module = nn.Dropout(c.dropout)
+
+    def __call__(self, prev_output_tokens, enc, src_lengths,
+                 deterministic: bool = True
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Returns (emission logits [B,S,K,V], transition logits [B,S,K,2],
+        cands [S,K])."""
+        c = self.cfg
+        k = self.cands_per_token
+        b, s = prev_output_tokens.shape
+        t_src = enc.shape[1]
+        cands = build_cands(s, self.first_read, k)           # [S, K]
+        flat_cands = cands.reshape(-1)                       # [S*K]
+
+        positions = fairseq_positions(prev_output_tokens)
+        x = self.embed_scale * jnp.take(self.embed_tokens, prev_output_tokens,
+                                        axis=0)
+        x = x + jnp.take(self.pos_table, positions, axis=0)
+        x = jnp.repeat(x, k, axis=1)                         # [B, S*K, C]
+        x = self.dropout_module(x, deterministic=deterministic)
+
+        # self-attn: (i,k) sees (i',k') iff i' < i and cands' <= cands, or self
+        tok_idx = jnp.repeat(jnp.arange(s, dtype=jnp.int32), k)
+        sk = s * k
+        same = jnp.eye(sk, dtype=bool)
+        earlier = tok_idx[None, :] < tok_idx[:, None]
+        moment_ok = flat_cands[None, :] <= flat_cands[:, None]
+        allowed_self = same | (earlier & moment_ok)
+
+        # cross-attn: (i,k) sees source j < cands[i,k] (padding via enc_valid)
+        j = jnp.arange(t_src, dtype=jnp.int32)[None, :]
+        allowed_cross = j < flat_cands[:, None]
+        enc_valid = j < src_lengths[:, None]
+
+        self_valid = jnp.repeat(prev_output_tokens != PAD, k, axis=1)
+        for layer in self.layers:
+            x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
+                         enc_valid, deterministic)
+        x = self.layer_norm(x)
+
+        emission = (x @ self.embed_tokens.T.astype(x.dtype)).reshape(
+            b, s, k, c.vocab_size)
+
+        # transition features: decoder state + cumulative-mean encoder state at
+        # the (clamped) moment (`hmt_model.py:826-841`)
+        cummean = jnp.cumsum(enc, axis=1) / jnp.arange(
+            1, t_src + 1, dtype=enc.dtype)[None, :, None]
+        moment = jnp.clip(jnp.minimum(flat_cands, src_lengths[:, None]) - 1,
+                          0, t_src - 1)                      # [B, S*K]
+        gathered = jnp.take_along_axis(cummean, moment[..., None], axis=1)
+        trans = self.transition_proj(jnp.concatenate([x, gathered], axis=-1))
+        trans = trans.reshape(b, s, k, 2)
+        # the last state must translate: mask its "keep reading" logit
+        last = jnp.arange(k) == k - 1
+        trans = jnp.where(last[None, None, :, None] &
+                          (jnp.arange(2) == 0)[None, None, None, :], NEG, trans)
+        return emission, trans, cands
+
+
+class HMTModel(nn.Module):
+    """Unidirectional text encoder + HMT decoder (`hmt_transformer` arch)."""
+
+    src_vocab: int
+    decoder_cfg: DecoderConfig
+    encoder_layers: int = 6
+    first_read: int = 3
+    cands_per_token: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.decoder_cfg
+        self.encoder = UniTransformerEncoderWithEmb(
+            d.embed_dim, d.ffn_embed_dim, d.attention_heads,
+            self.encoder_layers, self.src_vocab, d.dropout,
+            unidirectional=True, dtype=self.dtype, name="encoder")
+        self.decoder = HMTDecoder(d, self.first_read, self.cands_per_token,
+                                  dtype=self.dtype, name="decoder")
+
+    def __call__(self, src_tokens, src_lengths, prev_output_tokens,
+                 deterministic: bool = True):
+        enc = self.encoder(src_tokens, deterministic)
+        return self.decoder(prev_output_tokens, enc, src_lengths, deterministic)
+
+
+# ---------------------------------------------------------------------------
+# criterion (HMM forward algorithm + per-state CE + expected latency)
+# ---------------------------------------------------------------------------
+
+
+def _construct_transition(trans_lprob: jnp.ndarray) -> jnp.ndarray:
+    """log P(reach state k at token i) = trans[..,k,1] + Σ_{k'<k} trans[..,k',0]
+    (`hmt_label_smoothed_cross_entropy.py:156-176`)."""
+    not_t = trans_lprob[..., 0]
+    cum = jnp.cumsum(not_t, axis=-1)
+    cum = jnp.pad(cum[..., :-1], ((0, 0), (0, 0), (1, 0)))
+    return trans_lprob[..., 1] + cum  # [B, S, K]
+
+
+def _alpha_scan(ctp, gt_lprob, cands_clamped):
+    """Forward algorithm over target positions. ctp/gt_lprob: [B, S, K];
+    cands_clamped: [B, S, K]. Returns alphas [B, S, K]."""
+    b, s, k = ctp.shape
+
+    def body(alpha, inputs):
+        ctp_i, gt_i, c_prev, c_cur = inputs  # [B,K] each
+        # transition matrix [B, K_prev, K_cur], monotone: c_prev <= c_cur
+        m = ctp_i[:, None, :].repeat(k, 1)
+        mono = c_prev[:, :, None] <= c_cur[:, None, :]
+        m = jnp.where(mono, m, NEG)
+        m = m - jax.scipy.special.logsumexp(m, axis=-1, keepdims=True)
+        new_alpha = jax.scipy.special.logsumexp(
+            alpha[:, :, None] + m, axis=1) + gt_i
+        return new_alpha, new_alpha
+
+    alpha0 = ctp[:, 0] + gt_lprob[:, 0]
+    if s == 1:
+        return alpha0[:, None]
+    _, rest = jax.lax.scan(
+        body, alpha0,
+        (ctp[:, 1:].transpose(1, 0, 2), gt_lprob[:, 1:].transpose(1, 0, 2),
+         cands_clamped[:, :-1].transpose(1, 0, 2),
+         cands_clamped[:, 1:].transpose(1, 0, 2)))
+    return jnp.concatenate([alpha0[:, None], rest.transpose(1, 0, 2)], axis=1)
+
+
+def hmt_loss(emission, trans, cands, targets, src_lengths,
+             label_smoothing: float = 0.1, latency_weight: float = 1.0
+             ) -> Dict[str, jnp.ndarray]:
+    """emission [B,S,K,V], trans [B,S,K,2], cands [S,K], targets [B,S]."""
+    b, s, k, v = emission.shape
+    lprobs = jax.nn.log_softmax(emission.astype(jnp.float32), axis=-1)
+    trans_lprob = jax.nn.log_softmax(trans.astype(jnp.float32), axis=-1)
+    valid = targets != PAD
+
+    gt = jnp.take_along_axis(
+        lprobs, targets[:, :, None, None].repeat(k, 2), axis=-1)[..., 0]
+    ctp = _construct_transition(trans_lprob)
+    cands_b = jnp.minimum(cands[None], src_lengths[:, None, None])  # [B,S,K]
+
+    alphas = _alpha_scan(ctp, gt, cands_b)
+    tgt_lens = jnp.sum(valid, axis=1)
+    last_alpha = jnp.take_along_axis(
+        alphas, (tgt_lens - 1)[:, None, None].repeat(k, 2), axis=1)[:, 0]
+    hmm_nll = -jnp.sum(jax.scipy.special.logsumexp(last_alpha, axis=-1))
+
+    # per-state CE (`CE_loss`): label-smoothed, averaged over states
+    nll = -gt
+    smooth = -jnp.sum(lprobs, axis=-1)
+    eps_i = label_smoothing / v
+    ce = ((1 - label_smoothing) * nll + eps_i * smooth)
+    ce = jnp.sum(ce * valid[:, :, None]) / k
+
+    # expected latency (`Latency_loss`): E_path[cands - ideal]
+    ideal = jnp.minimum(
+        cands[None, :, 0:1] , src_lengths[:, None, None])      # first_read + i
+    delay = (cands_b - ideal).astype(jnp.float32)
+    occ_alphas = _alpha_scan(ctp, jnp.zeros_like(gt), cands_b)
+    occupancy = jnp.exp(occ_alphas)
+    lat = occupancy * delay * valid[:, :, None]
+    lat = lat / jnp.clip(tgt_lens, 1, s)[:, None, None]
+    latency = jnp.abs(jnp.sum(lat))
+
+    loss = hmm_nll + ce + latency_weight * latency
+    return {"loss": loss, "hmm_nll": hmm_nll, "state_ce": ce,
+            "latency": latency,
+            "sample_size": jnp.maximum(jnp.sum(valid), 1)}
+
+
+class HMTAgent:
+    """Simultaneous inference policy (`agent/mt/hmt_sim_sequence_generator.py`
+    role): at target position i with n source tokens read, the active state is
+    k = n - first_read - i; READ while the transition head prefers reading and
+    k < K-1, else WRITE the argmax token."""
+
+    source_type = "text"
+    target_type = "text"
+
+    def __init__(self, model: HMTModel, variables, src_dict, tgt_dict,
+                 max_len: int = 100):
+        from streamspeech_tpu.agents.base import AgentStates
+
+        self.model = model
+        self.variables = variables
+        self.src_dict = src_dict
+        self.tgt_dict = tgt_dict
+        self.max_len = max_len
+        self.states = AgentStates()
+
+        @jax.jit
+        def step(variables, src, src_len, prev, pos):
+            em, tr, _ = model.apply(variables, src, src_len, prev)
+            return (jnp.argmax(em[0, pos], axis=-1),
+                    jax.nn.log_softmax(tr.astype(jnp.float32), -1)[0, pos])
+
+        self._step = step
+        self.reset()
+
+    def reset(self):
+        self.states.reset()
+        self.hyp = []
+
+    def push(self, segment):
+        self.states.update_source(segment)
+
+    def pop(self):
+        from streamspeech_tpu.agents.base import (EmptySegment, ReadAction,
+                                                  TextSegment, WriteAction)
+
+        action = self.policy()
+        if action.is_read():
+            return EmptySegment(finished=self.states.target_finished)
+        seg = action.content
+        self.states.update_target(seg)
+        return seg
+
+    def pushpop(self, segment):
+        self.push(segment)
+        return self.pop()
+
+    def policy(self):
+        from streamspeech_tpu.agents.base import ReadAction, TextSegment, \
+            WriteAction
+
+        fr = self.model.first_read
+        kk = self.model.cands_per_token
+        n_src = len(self.states.source)
+        i = len(self.hyp)
+        finished = self.states.source_finished
+        k = n_src - fr - i
+        if not finished and k < 0:
+            return ReadAction()
+        k = max(0, min(k, kk - 1)) if not finished else kk - 1
+
+        src_ids = [self.src_dict.index(w) for w in self.states.source] or \
+            [self.src_dict.eos()]
+        import numpy as np
+
+        m = -(-len(src_ids) // 8) * 8
+        src = np.full((1, m), PAD, np.int32)
+        src[0, :len(src_ids)] = src_ids
+        pm = -(-(i + 1) // 8) * 8
+        prev = np.full((1, pm), PAD, np.int32)
+        prev[0, 0] = self.tgt_dict.eos()
+        prev[0, 1:i + 1] = self.hyp
+        tok_k, tr_k = self._step(self.variables, jnp.asarray(src),
+                                 jnp.asarray([len(src_ids)], jnp.int32),
+                                 jnp.asarray(prev), jnp.asarray(i, jnp.int32))
+        translate = finished or float(tr_k[k, 1]) >= float(tr_k[k, 0]) or \
+            k >= kk - 1
+        if not translate:
+            return ReadAction()
+        nxt = int(tok_k[k])
+        done = finished and (nxt == self.tgt_dict.eos() or
+                             len(self.hyp) + 1 >= self.max_len)
+        if nxt == self.tgt_dict.eos():
+            self.states.target_finished = True
+            return WriteAction(TextSegment(content="", finished=True),
+                               finished=True)
+        self.hyp.append(nxt)
+        if done:
+            self.states.target_finished = True
+        return WriteAction(TextSegment(content=self.tgt_dict[nxt],
+                                       finished=done), finished=done)

@@ -1,0 +1,138 @@
+"""HMT (Hidden Markov Transformer) tests: forward-algorithm loss vs a direct
+path-enumeration oracle, training convergence on a copy task, and the
+simultaneous agent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from streamspeech_tpu.config import DecoderConfig
+from streamspeech_tpu.dictionary import Dictionary
+from streamspeech_tpu.models.hmt import (
+    HMTAgent,
+    HMTModel,
+    _alpha_scan,
+    _construct_transition,
+    build_cands,
+    hmt_loss,
+)
+
+
+def build(vocab=20, k=3, first_read=2):
+    dec = DecoderConfig(embed_dim=32, ffn_embed_dim=64, layers=2,
+                        attention_heads=2, vocab_size=vocab, dropout=0.0)
+    model = HMTModel(src_vocab=vocab, decoder_cfg=dec, encoder_layers=2,
+                     first_read=first_read, cands_per_token=k)
+    src = jnp.full((2, 6), 5, jnp.int32)
+    lens = jnp.array([6, 6])
+    prev = jnp.full((2, 5), 5, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), src, lens, prev)
+    return model, variables
+
+
+def test_shapes():
+    model, variables = build()
+    src = jnp.full((2, 6), 5, jnp.int32)
+    em, tr, cands = model.apply(variables, src, jnp.array([6, 4]),
+                                jnp.full((2, 5), 5, jnp.int32))
+    assert em.shape == (2, 5, 3, 20)
+    assert tr.shape == (2, 5, 3, 2)
+    assert np.asarray(cands).tolist() == np.asarray(
+        build_cands(5, 2, 3)).tolist()
+    # last state's keep-reading logit masked
+    assert float(tr[0, 0, 2, 0]) < -1e8
+
+
+def brute_force_hmm(ctp, gt, cands):
+    """Enumerate all monotone state paths; mirrors the reference recursion
+    including the per-step transition renormalization."""
+    s, k = gt.shape
+    # normalized transition matrices per step
+    mats = []
+    for i in range(1, s):
+        m = np.where(cands[i - 1][:, None] <= cands[i][None, :],
+                     np.tile(ctp[i][None, :], (k, 1)), -1e9)
+        m = m - np.log(np.sum(np.exp(m), axis=1, keepdims=True))
+        mats.append(m)
+    total = -np.inf
+    import itertools
+
+    for path in itertools.product(range(k), repeat=s):
+        ok = all(cands[i - 1][path[i - 1]] <= cands[i][path[i]]
+                 for i in range(1, s))
+        if not ok:
+            continue
+        lp = ctp[0][path[0]] + gt[0][path[0]]
+        for i in range(1, s):
+            lp += mats[i - 1][path[i - 1], path[i]] + gt[i][path[i]]
+        total = np.logaddexp(total, lp)
+    return total
+
+
+def test_alpha_scan_matches_bruteforce():
+    rng = np.random.RandomState(0)
+    s, k = 4, 3
+    ctp = jnp.asarray(rng.randn(1, s, k), jnp.float32)
+    gt = jnp.asarray(rng.randn(1, s, k), jnp.float32)
+    cands = np.asarray(build_cands(s, 2, k))
+    alphas = _alpha_scan(ctp, gt, jnp.asarray(cands)[None])
+    got = float(jax.scipy.special.logsumexp(alphas[0, -1]))
+    want = brute_force_hmm(np.asarray(ctp[0]), np.asarray(gt[0]), cands)
+    assert abs(got - want) < 1e-4, (got, want)
+
+
+def test_hmt_copy_task_converges():
+    model, variables = build()
+    tx = optax.adam(3e-3)
+    params = variables["params"]
+    opt_state = tx.init(params)
+    rng = np.random.RandomState(0)
+
+    @jax.jit
+    def step(params, opt_state, src, lens, prev, tgt):
+        def loss_fn(p):
+            em, tr, cands = model.apply({"params": p}, src, lens, prev)
+            m = hmt_loss(em, tr, cands, tgt, lens)
+            return m["loss"] / m["sample_size"]
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state2 = tx.update(grads, opt_state)
+        return optax.apply_updates(params, updates), opt_state2, loss
+
+    losses = []
+    for i in range(40):
+        toks = rng.randint(4, 20, size=(8, 5)).astype(np.int32)
+        src = jnp.asarray(toks)
+        lens = jnp.full((8,), 5, jnp.int32)
+        prev = jnp.concatenate([jnp.full((8, 1), 2, jnp.int32),
+                                jnp.asarray(toks[:, :-1])], 1)
+        params, opt_state, loss = step(params, opt_state, src, lens, prev,
+                                       jnp.asarray(toks))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0] * 0.9, (losses[0], losses[-1])
+
+
+def test_hmt_agent():
+    from streamspeech_tpu.agents.base import TextSegment
+
+    model, variables = build()
+    d = Dictionary()
+    for i in range(16):
+        d.add_symbol(f"w{i}")
+    agent = HMTAgent(model, variables, d, d, max_len=10)
+    agent.reset()
+    words = ["w1", "w2", "w3", "w4", "w5"]
+    n_out = 0
+    for i, w in enumerate(words):
+        seg = TextSegment(content=w, finished=i == len(words) - 1)
+        out = agent.pushpop(seg)
+        if not out.is_empty and out.content:
+            n_out += 1
+    # drain after source finished
+    for _ in range(10):
+        if agent.states.target_finished:
+            break
+        out = agent.pop()
+    assert agent.states.source_finished
