@@ -49,9 +49,27 @@ def main(argv=None):
     p.add_argument("--lagging-k1", type=int, default=0)
     p.add_argument("--stride-n", type=int, default=1)
     p.add_argument("--continue-unfinished", action="store_true", default=False)
+    p.add_argument("--score-only", action="store_true", default=False,
+                   help="re-score a previous run from output/instances.log")
     p.add_argument("--latency-metrics", nargs="*", default=None)
     p.add_argument("--quality-metrics", nargs="*", default=None)
     args = p.parse_args(argv)
+
+    if args.score_only:
+        from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator as SE
+        from streamspeech_tpu.agents.base import SpeechToTextAgent
+
+        class _Null(SpeechToTextAgent):
+            def policy(self):
+                from streamspeech_tpu.agents.base import ReadAction
+                return ReadAction()
+
+        ev = SE(_Null(), output_dir=args.output,
+                latency_metrics=args.latency_metrics,
+                quality_metrics=args.quality_metrics or [])
+        for k, v in ev.score_only().items():
+            print(f"{k}\t{v:.3f}" if v == v else f"{k}\tnan")
+        return
 
     from streamspeech_tpu.cli.generate import load_model
 

@@ -110,6 +110,34 @@ class SentenceLevelEvaluator:
             log_f.close()
         return self.scores()
 
+    def score_only(self) -> Dict[str, float]:
+        """Re-score from a previous run's instances.log without running the
+        agent (the reference's --score-only mode, `evaluator.py:145-160`).
+        Rebuilds LogInstance-like objects from the JSONL summaries."""
+        assert self.output_dir, "score_only needs --output with instances.log"
+        log = Path(self.output_dir) / "instances.log"
+        self.instances = {}
+        for line in log.read_text().splitlines():
+            d = json.loads(line)
+            cls = SpeechOutputInstance if "durations" in d else TextOutputInstance
+            src_samples = [0.0] * int(d["source_length"] * 16)
+            ins = cls(d["index"], src_samples, d.get("reference"),
+                      output_dir=self.output_dir)
+            ins.delays = d.get("delays", [])
+            ins.elapsed = d.get("elapsed", [])
+            ins.finish_prediction = True
+            if isinstance(ins, SpeechOutputInstance):
+                ins.durations = d.get("durations", [])
+                ins.intervals = d.get("intervals", [])
+                ins.silences = [max(b0 - (a0 + a1), 0.0) for (a0, a1), (b0, _)
+                                in zip(ins.intervals, ins.intervals[1:])
+                                if b0 > a0 + a1]
+                ins.target_sample_rate = 16000
+            else:
+                ins.prediction_list = str(d.get("prediction", "")).split()
+            self.instances[d["index"]] = ins
+        return self.scores()
+
     def scores(self) -> Dict[str, float]:
         results: Dict[str, float] = {}
         for name, scorer in self.quality_scorers.items():

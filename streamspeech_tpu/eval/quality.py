@@ -61,6 +61,39 @@ class ASRBLEUScorer:
         return sacrebleu.corpus_bleu(hyps, refs, tokenize=self.tokenizer).score
 
 
+def make_self_asr_fn(engine, src_dict, segment_size_ms: int = 640):
+    """Build an ASR backend for ASRBLEUScorer from this framework's OWN
+    streaming-ASR agent (self-transcription). The reference downloads external
+    wav2vec2 CTC models (`asr_bleu/utils.py:47`); with no network egress, a
+    model's own ASR head is the built-in alternative (use an English-ASR
+    checkpoint for scoring English speech output)."""
+    from streamspeech_tpu.agents.base import SpeechSegment
+    from streamspeech_tpu.agents.streamspeech import (
+        StreamSpeechAgentConfig,
+        StreamSpeechASRAgent,
+    )
+
+    agent = StreamSpeechASRAgent(
+        engine, StreamSpeechAgentConfig(source_segment_size=segment_size_ms),
+        src_dict)
+
+    def asr_fn(wav, sample_rate=16000) -> str:
+        agent.reset()
+        samples = list(wav)
+        seg = int(segment_size_ms * sample_rate / 1000)
+        text = []
+        for i in range(0, max(len(samples), 1), seg):
+            chunk = samples[i:i + seg]
+            out = agent.pushpop(SpeechSegment(
+                content=chunk, sample_rate=sample_rate,
+                finished=i + seg >= len(samples)))
+            if not out.is_empty and out.content:
+                text.append(out.content)
+        return " ".join(text)
+
+    return asr_fn
+
+
 @QUALITY_SCORERS.register("WER")
 class WERScorer:
     """Word error rate (used by the streaming-ASR evaluation, BASELINE.md)."""

@@ -126,3 +126,16 @@ def test_pipeline_type_check():
         assert False, "should have raised"
     except ValueError:
         pass
+
+
+def test_score_only_roundtrip(tmp_path):
+    agent = DummyWaitKAgent()
+    ev = SentenceLevelEvaluator(agent, source_segment_size=320,
+                                quality_metrics=[], output_dir=str(tmp_path))
+    sources = [list(np.zeros(16000))]
+    scores = ev(sources, ["w1 w2 w3 w4 w5"])
+    ev2 = SentenceLevelEvaluator(DummyWaitKAgent(), quality_metrics=[],
+                                 output_dir=str(tmp_path))
+    rescored = ev2.score_only()
+    for key in ["AL", "AP", "DAL", "StartOffset", "RTF"]:
+        assert abs(scores[key] - rescored[key]) < 1e-6, key
