@@ -156,8 +156,26 @@ def main(argv=None):
         update_freq=args.update_freq, max_tokens=args.max_tokens,
         max_update=args.max_update)
     tx = make_optimizer(opt)
+    from streamspeech_tpu.train.criterion import CriterionWeights
+    weights = CriterionWeights()
+    specaugment_cfg = None
+    if not args.synthetic and args.multitask_config_yaml:
+        mt_cfg = MultitaskConfig.load(
+            str(Path(args.data) / args.multitask_config_yaml))
+        kw = {}
+        for name, t in mt_cfg.tasks.items():
+            if name in ("target_unigram", "source_unigram",
+                        "ctc_target_unigram"):
+                kw[name] = t.loss_weight
+        if kw:
+            weights = CriterionWeights(**kw)
+        data_cfg = S2SDataConfig.load(str(Path(args.data) / args.config_yaml))
+        if "specaugment" in data_cfg.get_transforms(args.train_subset):
+            specaugment_cfg = data_cfg.specaugment
     step_fn = make_train_step(model, tx,
-                              unit_blank=model_cfg.unit_decoder.vocab_size - 1)
+                              unit_blank=model_cfg.unit_decoder.vocab_size - 1,
+                              weights=weights,
+                              specaugment_cfg=specaugment_cfg)
 
     mesh = make_mesh(model=args.tp)
     state = create_sharded_state(variables, tx, mesh, fsdp=args.fsdp,

@@ -77,6 +77,7 @@ def make_train_step(
     unit_blank: int,
     weights: CriterionWeights = CriterionWeights(),
     rdrop_alpha: float = 0.0,
+    specaugment_cfg: Optional[Dict[str, Any]] = None,
 ) -> Callable:
     """Returns train_step(state, batch, rng, chunk_size, conv_chunk_size, n2).
 
@@ -88,8 +89,22 @@ def make_train_step(
 
     def forward(params, batch_stats, batch, rng, chunk_size, conv_chunk_size):
         variables = {"params": params, "batch_stats": batch_stats}
+        src = batch["src_tokens"]
+        if specaugment_cfg is not None:
+            from streamspeech_tpu.ops.specaugment import specaugment
+
+            sa_rng, rng = jax.random.split(rng)
+            keys = jax.random.split(sa_rng, src.shape[0])
+            src = jax.vmap(lambda k, x, n: specaugment(
+                k, x, n,
+                freq_mask_n=specaugment_cfg.get("freq_mask_N", 1),
+                freq_mask_f=specaugment_cfg.get("freq_mask_F", 27),
+                time_mask_n=specaugment_cfg.get("time_mask_N", 1),
+                time_mask_t=specaugment_cfg.get("time_mask_T", 100),
+                time_mask_p=specaugment_cfg.get("time_mask_p", 1.0),
+            ))(keys, src, batch["src_lengths"])
         return model.apply(
-            variables, batch["src_tokens"], batch["src_lengths"],
+            variables, src, batch["src_lengths"],
             batch["prev_output_tokens_mt"],
             chunk_size=chunk_size, conv_chunk_size=conv_chunk_size,
             k1=0, n1=1, k2=0, n2=batch["n2"],

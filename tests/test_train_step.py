@@ -77,3 +77,22 @@ def test_fsdp_tp_mesh_runs():
     shardings = jax.tree.leaves(
         jax.tree.map(lambda x: x.sharding.is_fully_replicated, state.params))
     assert not all(shardings)
+
+
+def test_train_step_with_specaugment():
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizationConfig(update_freq=1, warmup_updates=10))
+    step = make_train_step(model, tx, unit_blank=cfg.unit_decoder.vocab_size - 1,
+                           specaugment_cfg={"freq_mask_N": 1, "freq_mask_F": 10,
+                                            "time_mask_N": 1, "time_mask_T": 20,
+                                            "time_mask_p": 1.0},
+                           rdrop_alpha=0.5)
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    state = create_sharded_state(variables, tx, mesh)
+    batch = synthetic_batch(cfg, batch=2)
+    state, m = step(state, batch, jax.random.PRNGKey(0), chunk_size=4,
+                    conv_chunk_size=8)
+    assert np.isfinite(float(m["loss_mean"]))
+    assert "rdrop_kl" in m
