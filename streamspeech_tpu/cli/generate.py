@@ -27,11 +27,17 @@ def load_model(args):
 
     cfg = full_config()
     if args.fairseq_checkpoint:
-        from streamspeech_tpu.train.checkpoint import import_fairseq_streamspeech
+        from streamspeech_tpu.train.checkpoint import (
+            import_fairseq_streamspeech,
+            infer_config_from_params,
+        )
 
         params, batch_stats, _ = import_fairseq_streamspeech(
             args.fairseq_checkpoint)
         variables = {"params": params, "batch_stats": batch_stats}
+        cfg = infer_config_from_params(params, batch_stats)
+        model = StreamSpeechModel(cfg)
+        return model, variables, cfg
     elif args.checkpoint:
         from streamspeech_tpu.train.checkpoint import load_checkpoint
 

@@ -246,6 +246,57 @@ def import_fairseq_streamspeech(path: str) -> Tuple[Dict, Dict, Dict]:
     return params, batch_stats, cfg
 
 
+def infer_config_from_params(params: Dict, batch_stats: Dict):
+    """Reconstruct a StreamSpeechConfig from imported parameter shapes — robust
+    against the omegaconf blob embedded in reference checkpoints (which needs
+    fairseq to deserialize). Everything the flax modules need is in the shapes."""
+    from streamspeech_tpu.config import StreamSpeechConfig
+
+    cfg = StreamSpeechConfig.simul_s2st()
+    enc = params["encoder"]
+    cfg.encoder.layers = sum(1 for k in enc if k.startswith("layers_"))
+    cfg.encoder.embed_dim = enc["linear"]["kernel"].shape[1]
+    l0 = enc["layers_0"]
+    cfg.encoder.ffn_embed_dim = l0["ffn1"]["w_1"]["kernel"].shape[1]
+    cfg.encoder.attention_heads = l0["self_attn"]["pos_bias_u"].shape[0]
+    cfg.encoder.depthwise_conv_kernel_size = \
+        l0["conv_module"]["depthwise_conv"]["weight"].shape[0]
+    sub = enc["subsample"]
+    cfg.encoder.conv_kernel_sizes = [
+        sub[f"conv_{i}"]["weight"].shape[0] for i in range(len(sub))]
+    cfg.encoder.conv_channels = sub["conv_0"]["weight"].shape[2]
+
+    mt = params["mt_decoder"]
+    cfg.mt_decoder.vocab_size, cfg.mt_decoder.embed_dim = \
+        mt["embed_tokens"].shape
+    cfg.mt_decoder.layers = sum(1 for k in mt if k.startswith("layers_"))
+    cfg.mt_decoder.ffn_embed_dim = \
+        mt["layers_0"]["ffn"]["fc1"]["kernel"].shape[1]
+    cfg.mt_decoder.normalize_before = "layer_norm" in mt
+    cfg.translation_decoder_layers = cfg.mt_decoder.layers
+
+    ud = params["unit_decoder"]
+    cfg.unit_decoder.vocab_size, cfg.unit_decoder.embed_dim = \
+        ud["embed_tokens"].shape
+    cfg.unit_decoder.layers = sum(1 for k in ud if k.startswith("layers_"))
+    cfg.unit_decoder.ffn_embed_dim = \
+        ud["layers_0"]["ffn"]["fc1"]["kernel"].shape[1]
+    cfg.target_code_size = cfg.unit_decoder.vocab_size - 5  # 4 specials + blank
+
+    if "synthesizer_encoder" in params:
+        cfg.synthesizer_encoder_layers = sum(
+            1 for k in params["synthesizer_encoder"] if k.startswith("layers_"))
+    else:
+        cfg.synthesizer_encoder_layers = 0
+    if "source_unigram_head" in params:
+        cfg.source_unigram_vocab = \
+            params["source_unigram_head"]["proj"]["kernel"].shape[1]
+    if "ctc_target_unigram_head" in params:
+        cfg.ctc_target_unigram_vocab = \
+            params["ctc_target_unigram_head"]["proj"]["kernel"].shape[1]
+    return cfg
+
+
 def export_fairseq_streamspeech(params: Dict, batch_stats: Dict) -> Dict[str, np.ndarray]:
     """Inverse of import_fairseq_streamspeech: my pytree → fairseq state-dict
     names/layouts. Lets users continue training released checkpoints in either

@@ -163,3 +163,31 @@ def test_hifigan_import(tmp_path):
     # and the imported vocoder runs
     wav, n, dur = voc.apply(imported, jnp.array([[1, 2, 3]]), max_frames=12)
     assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_config_inference_from_imported_params(tmp_path):
+    import torch
+
+    from streamspeech_tpu.train.checkpoint import infer_config_from_params
+
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    sd = export_fairseq_streamspeech(
+        jax.tree.map(np.asarray, variables["params"]),
+        jax.tree.map(np.asarray, variables["batch_stats"]))
+    pt = tmp_path / "m.pt"
+    torch.save({"model": torchify(sd)}, pt)
+    params, bs, _ = import_fairseq_streamspeech(str(pt))
+    inferred = infer_config_from_params(params, bs)
+    assert inferred.encoder.layers == cfg.encoder.layers
+    assert inferred.encoder.embed_dim == cfg.encoder.embed_dim
+    assert inferred.mt_decoder.vocab_size == cfg.mt_decoder.vocab_size
+    assert inferred.unit_decoder.vocab_size == cfg.unit_decoder.vocab_size
+    assert inferred.synthesizer_encoder_layers == cfg.synthesizer_encoder_layers
+    # inferred config drives the model with imported params
+    m2 = StreamSpeechModel(inferred)
+    out = m2.apply({"params": params, "batch_stats": bs},
+                   jnp.zeros((1, 32, 80)), jnp.array([32]),
+                   jnp.array([[2, 5]], dtype=jnp.int32), n2=1)
+    assert np.isfinite(np.asarray(out["unit_logits"])).all()
