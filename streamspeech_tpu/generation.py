@@ -40,12 +40,29 @@ def _gather_cache(cache: KVCache, order: jnp.ndarray) -> KVCache:
     return dataclasses.replace(cache, k=cache.k[order], v=cache.v[order])
 
 
+def block_repeat_ngrams(lp: np.ndarray, hyps, ngram: int):
+    """Ban tokens that would complete an already-seen n-gram — the pure-numpy
+    equivalent of the reference's CUDA ngram_repeat_block extension
+    (`fairseq/fairseq/clib/cuda/ngram_repeat_block_cuda*`; fairseq
+    sequence_generator --no-repeat-ngram-size)."""
+    if ngram <= 0:
+        return lp
+    for b, hyp in enumerate(hyps):
+        if len(hyp) < ngram - 1:
+            continue
+        prefix = tuple(hyp[-(ngram - 1):]) if ngram > 1 else tuple()
+        for i in range(len(hyp) - ngram + 1):
+            if tuple(hyp[i:i + ngram - 1]) == prefix:
+                lp[b, hyp[i + ngram - 1]] = -np.inf
+    return lp
+
+
 class OfflineGenerator:
     """Greedy/beam offline inference over the full model."""
 
     def __init__(self, model: StreamSpeechModel, variables: Dict,
                  beam: int = 1, max_len: int = 200, len_penalty: float = 1.0,
-                 max_enc_frames: int = 1024):
+                 max_enc_frames: int = 1024, no_repeat_ngram_size: int = 0):
         self.model = model
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}
@@ -53,6 +70,7 @@ class OfflineGenerator:
         self.max_len = max_len
         self.len_penalty = len_penalty
         self.max_enc_frames = max_enc_frames
+        self.no_repeat_ngram_size = no_repeat_ngram_size
         c = model.cfg
 
         @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"))
@@ -124,6 +142,7 @@ class OfflineGenerator:
                                        self_c, cross)
             lp = np.asarray(lp, np.float64)  # [beam, V]
             lp[:, PAD] = -np.inf
+            lp = block_repeat_ngrams(lp, hyps, self.no_repeat_ngram_size)
             total = scores[:, None] + lp
             total[~alive] = -np.inf
             if step == 0:

@@ -34,7 +34,8 @@ from streamspeech_tpu.models.transformer import (
     UniTransformerEncoderWithEmb,
     PAD,
 )
-from streamspeech_tpu.ops.masks import lengths_to_mask, streaming_allowed_from_ctc
+from streamspeech_tpu.ops.masks import (lengths_to_mask,
+    streaming_allowed_from_ctc, waitk_allowed)
 
 
 def ctc_not_blank_probs(logits: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
@@ -101,6 +102,7 @@ class StreamSpeechModel(nn.Module):
         k2: int = 0,
         n2: Optional[int] = None,
         streaming: bool = True,
+        mt_mask_mode: str = "ctc",   # "ctc" (CTC-derived) | "waitk" (fixed)
         deterministic: bool = True,
         use_running_stats: bool = True,
     ) -> Dict[str, jnp.ndarray]:
@@ -115,7 +117,11 @@ class StreamSpeechModel(nn.Module):
         st_logits = self.ctc_target_unigram_head(enc)
 
         allowed_cross = None
-        if streaming:
+        if streaming and mt_mask_mode == "waitk":
+            # fixed wait-k training (`speech_to_speech_ctc_waitk_criterion.py:74`)
+            allowed_cross = waitk_allowed(prev_output_tokens_mt.shape[1],
+                                          t_enc, k1, n1, n1)
+        elif streaming:
             asr_nb = ctc_not_blank_probs(asr_logits, blank=0)
             st_nb = ctc_not_blank_probs(st_logits, blank=0)
             eff_chunk = (chunk_size if chunk_size is not None and chunk_size < 999

@@ -445,3 +445,34 @@ class CTCHead(nn.Module):
     @nn.compact
     def __call__(self, x):
         return nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")(x)
+
+
+class CTCHeadWithEncoder(nn.Module):
+    """CTC head preceded by extra transformer encoder layers — the reference's
+    CTCDecoderWithTransformerLayer
+    (`researches/ctc_unity/modules/ctc_decoder_with_transformer_layer.py:14`),
+    selected when the multitask yaml gives the aux task encoder layers > 0."""
+
+    vocab_size: int
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    num_layers: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.layers = [
+            TransformerEncoderLayer(self.embed_dim, self.ffn_dim,
+                                    self.num_heads, self.dropout,
+                                    normalize_before=True, dtype=self.dtype,
+                                    name=f"layers_{i}")
+            for i in range(self.num_layers)
+        ]
+        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")
+
+    def __call__(self, x, key_valid=None, deterministic: bool = True):
+        for layer in self.layers:
+            x, _ = layer(x, None, key_valid, deterministic)
+        return self.proj(self.layer_norm(x))

@@ -90,3 +90,21 @@ def test_encoder_prefix_invariance(model_and_params):
     e_full = enc(full)           # 64 frames → 16 encoder frames
     e_half = enc(full[:, :32])   # 32 frames → 8 encoder frames
     np.testing.assert_allclose(e_half[0], e_full[0, :8], rtol=2e-4, atol=2e-5)
+
+
+def test_waitk_mask_mode_and_ctc_head_with_encoder(model_and_params):
+    model, variables = model_and_params
+    import jax.numpy as jnp2
+    src = jnp2.zeros((1, 32, 80))
+    out = model.apply(variables, src, jnp2.array([32]),
+                      jnp2.array([[2, 5, 6]], dtype=jnp2.int32),
+                      mt_mask_mode="waitk", k1=2, n1=1, n2=1)
+    assert np.isfinite(np.asarray(out["mt_logits"])).all()
+
+    from streamspeech_tpu.models.transformer import CTCHeadWithEncoder
+    head = CTCHeadWithEncoder(vocab_size=30, embed_dim=32, ffn_dim=64,
+                              num_heads=2, num_layers=2)
+    x = jnp2.zeros((2, 8, 32))
+    v = head.init(jax.random.PRNGKey(0), x)
+    logits = head.apply(v, x)
+    assert logits.shape == (2, 8, 30)
