@@ -199,6 +199,35 @@ def main(argv=None):
                            step=restored["step"])
         progress.log({"event": "resumed", "from": ckpt}, tag="setup")
 
+    @jax.jit
+    def eval_loss(params, batch_stats, batch):
+        from streamspeech_tpu.train.criterion import streamspeech_loss
+
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          batch["src_tokens"], batch["src_lengths"],
+                          batch["prev_output_tokens_mt"],
+                          chunk_size=8, conv_chunk_size=8, n2=batch["n2"])
+        m = streamspeech_loss(out, batch,
+                              model_cfg.unit_decoder.vocab_size - 1, weights)
+        return m["loss"] / m["sample_size"].astype(jnp.float32)
+
+    def validate(state):
+        if args.synthetic:
+            batches = [synthetic_batch(model_cfg, batch=4, frames=64, seed=999)]
+        elif valid_ds is not None:
+            batches = [
+                {k: jnp.asarray(v) for k, v in valid_ds.collate(idx).items()
+                 if k != "id"}
+                for idx in valid_ds.batches(args.max_tokens,
+                                            args.max_sentences)[:50]]
+        else:
+            return None
+        losses = []
+        for b in batches:
+            b = dict(b, n2=jnp.asarray(1, jnp.int32))
+            losses.append(float(eval_loss(state.params, state.batch_stats, b)))
+        return float(np.mean(losses)) if losses else None
+
     def batch_iterator(epoch):
         if args.synthetic:
             for i in range(10000):
@@ -247,6 +276,11 @@ def main(argv=None):
                 t_last = time.perf_counter()
                 progress.log(stats, tag="train", step=num_updates)
                 metrics.reset_scope("default")
+            if num_updates % args.validate_interval_updates == 0:
+                val = validate(state)
+                if val is not None:
+                    progress.log({"valid_loss": val}, tag="valid",
+                                 step=num_updates)
             if args.save_dir and num_updates % args.save_interval_updates == 0:
                 save_checkpoint(args.save_dir, num_updates, state,
                                 config=to_dict(model_cfg),

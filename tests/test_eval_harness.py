@@ -139,3 +139,25 @@ def test_score_only_roundtrip(tmp_path):
     rescored = ev2.score_only()
     for key in ["AL", "AP", "DAL", "StartOffset", "RTF"]:
         assert abs(scores[key] - rescored[key]) < 1e-6, key
+
+
+def test_watchdog_and_nan_detector():
+    import time
+
+    from streamspeech_tpu.utils.watchdog import HeartbeatWatchdog, \
+        check_finite_tree
+
+    fired = []
+    w = HeartbeatWatchdog(timeout=0.3, on_timeout=lambda: fired.append(1))
+    w.start()
+    for _ in range(3):
+        time.sleep(0.1)
+        w.beat()
+    assert not fired
+    time.sleep(0.6)
+    assert fired
+    w.stop()
+
+    bad = check_finite_tree({"a": np.array([1.0, np.nan]),
+                             "b": np.array([1.0])}, "params")
+    assert bad == ["params['a']"]
