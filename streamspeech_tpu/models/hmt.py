@@ -239,6 +239,10 @@ def hmt_loss(emission, trans, cands, targets, src_lengths,
             "sample_size": jnp.maximum(jnp.sum(valid), 1)}
 
 
+from streamspeech_tpu.registry import AGENTS
+
+
+@AGENTS.register("hmt_text")
 class HMTAgent:
     """Simultaneous inference policy (`agent/mt/hmt_sim_sequence_generator.py`
     role): at target position i with n source tokens read, the active state is

@@ -71,6 +71,10 @@ def text_mt_loss(out, targets, label_smoothing: float = 0.1):
             "sample_size": jnp.maximum(jnp.sum(valid), 1)}
 
 
+from streamspeech_tpu.registry import AGENTS
+
+
+@AGENTS.register("waitk_text")
 class WaitkTextAgent:
     """Wait-k simultaneous text-MT policy (`agent/mt/*_sequence_generator.py`
     role): after k source tokens, emit one target token per new source token.

@@ -262,6 +262,10 @@ class StreamingSession:
         """Greedy continue-from-prefix; decodes up to max_new_tokens (or to EOS
         when max_new_tokens < 0). Returns the full hypothesis (no leading eos).
         """
+        # hypothesis length is bounded by the KV-cache capacity and the largest
+        # MT shape bucket (long-utterance safety)
+        max_len = min(max_len, self.e.max_mt_tokens - 2,
+                      self.e.mt_buckets[-1] - 2)
         budget = max_new_tokens if max_new_tokens >= 0 else max_len
         # Invariant at entry/exit: mt_steps == len(mt_tokens) — the KV caches hold
         # feeds of [eos] + tokens[:-1]; the newest token is always un-fed. This is

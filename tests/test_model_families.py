@@ -54,3 +54,15 @@ def test_translatotron2_model():
     }
     m = translatotron2_loss(out, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_arch_registry_builds_models():
+    from streamspeech_tpu.models.registry_glue import build
+    from streamspeech_tpu.train.synthetic import tiny_config
+
+    for arch in ["streamspeech", "streamspeech_cascade", "chunk_unity_conformer",
+                 "uni_unity_conformer"]:
+        model, cfg = build(arch, tiny_config())
+        assert model is not None
+        if arch == "streamspeech_cascade":
+            assert cfg.cascade
