@@ -71,7 +71,10 @@ class StreamSpeechEngine:
         self.max_dur_per_unit = max_dur_per_unit
         c = model.cfg
 
-        @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"))
+        @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"),
+                           donate_argnums=(2, 3))  # state + enc_buf buffers are
+        # consumed and rewritten every chunk — donation avoids copying the
+        # 12-layer KV caches per block
         def encode_block(variables, block, state, enc_buf, valid_len, chunk,
                          conv_chunk):
             enc, state, asr_ids, st_ids = model.apply(

@@ -108,3 +108,17 @@ def test_waitk_mask_mode_and_ctc_head_with_encoder(model_and_params):
     v = head.init(jax.random.PRNGKey(0), x)
     logits = head.apply(v, x)
     assert logits.shape == (2, 8, 30)
+
+
+def test_bf16_forward_finite():
+    import jax.numpy as jnp2
+
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg, dtype=jnp2.bfloat16)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    src = jnp2.asarray(np.random.RandomState(0).randn(1, 32, 80), jnp2.float32)
+    out = model.apply(variables, src, jnp2.array([32]),
+                      jnp2.array([[2, 5, 6]], dtype=jnp2.int32), n2=1)
+    # params stay fp32; activations bf16
+    assert variables["params"]["encoder"]["linear"]["kernel"].dtype == jnp2.float32
+    assert np.isfinite(np.asarray(out["unit_logits"], np.float32)).all()
