@@ -44,6 +44,61 @@ def token_embedding_init(rng, shape, dtype=jnp.float32):
     return emb.at[PAD].set(0.0)
 
 
+def pack_units(units: jnp.ndarray, n_frames_per_step: int, vocab_size: int,
+               offset: int = 4) -> jnp.ndarray:
+    """Pack n consecutive unit ids into one base-V token id
+    (`fairseq/fairseq/data/audio/speech_to_speech_dataset.py:88-104`):
+    packed = offset + Σ_i (u_i - offset) · V^i over each group of n units.
+    units: [..., T] with T divisible by n (pad/truncate beforehand)."""
+    if n_frames_per_step <= 1:
+        return units
+    t = units.shape[-1]
+    g = units.reshape(units.shape[:-1] + (t // n_frames_per_step,
+                                          n_frames_per_step)) - offset
+    scale = vocab_size ** jnp.arange(n_frames_per_step, dtype=units.dtype)
+    return jnp.sum(g * scale, axis=-1) + offset
+
+
+class StackedEmbedding(nn.Module):
+    """Embeds packed stacked-unit tokens
+    (`fairseq/fairseq/models/speech_to_speech/modules/stacked_embedding.py:12`):
+    the packed id's base-V digits are embedded individually, concatenated and
+    projected back to embed_dim. num_stacked == 1 degenerates to a plain table."""
+
+    num_embeddings: int
+    embed_dim: int
+    num_stacked: int = 1
+    offset: int = 4
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.weight = self.param("embedding", token_embedding_init,
+                                 (self.num_embeddings, self.embed_dim))
+        if self.num_stacked > 1:
+            self.project_in_dim = nn.Dense(self.embed_dim, use_bias=False,
+                                           dtype=self.dtype,
+                                           name="project_in_dim")
+
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        table = self.weight.astype(self.dtype)
+        if self.num_stacked == 1:
+            return jnp.take(table, tokens, axis=0)
+        v = self.num_embeddings - self.offset
+        mask = tokens >= self.offset
+        digits = []
+        cum = jnp.zeros_like(tokens)
+        for i in range(1, self.num_stacked + 1):
+            div = v ** i
+            nxt = jnp.remainder(tokens - self.offset - cum, div)
+            cum = cum + nxt
+            nxt = nxt // (div // v)
+            digits.append(jnp.where(mask, nxt + self.offset, tokens))
+        stacked = jnp.stack(digits[::-1], axis=-1)         # [..., n]
+        emb = jnp.take(table, stacked, axis=0)             # [..., n, C]
+        emb = emb.reshape(emb.shape[:-2] + (self.num_stacked * self.embed_dim,))
+        return self.project_in_dim(emb)
+
+
 class TransformerFFN(nn.Module):
     ffn_dim: int
     embed_dim: int
@@ -377,6 +432,18 @@ class CTCTransformerUnitDecoder(nn.Module):
         ]
         self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
         self.dropout_module = nn.Dropout(c.dropout)
+        # stacked-units output (`ctc_transformer_unit_decoder.py:40-49,95-106`)
+        self.out_proj_n_frames = (
+            nn.Dense(c.embed_dim * c.n_frames_per_step, use_bias=False,
+                     dtype=self.dtype, name="out_proj_n_frames")
+            if c.n_frames_per_step > 1 else None)
+
+    def _unit_logits(self, x):
+        c = self.cfg
+        if self.out_proj_n_frames is not None:
+            b, t, d = x.shape
+            x = self.out_proj_n_frames(x).reshape(b, t * c.n_frames_per_step, d)
+        return x @ self.embed_tokens.T.astype(x.dtype)
 
     def upsample(self, enc: jnp.ndarray) -> jnp.ndarray:
         """[B, T, C] → [B, T*upsample, C] (repeat each frame; `:154-159`)."""
@@ -410,8 +477,7 @@ class CTCTransformerUnitDecoder(nn.Module):
             x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
                          enc_valid, deterministic)
         x = self.layer_norm(x)
-        logits = x @ self.embed_tokens.T.astype(x.dtype)
-        return logits, x
+        return self._unit_logits(x), x
 
     def step(self, enc_new, self_caches, cross_caches, deterministic=True):
         """Incremental NAR continuation: upsample only the NEW T2U states (the
@@ -427,8 +493,7 @@ class CTCTransformerUnitDecoder(nn.Module):
             x, sc = layer(x, None, None, None, None, None, True, sc, cc)
             new_self.append(sc)
         x = self.layer_norm(x)
-        logits = x @ self.embed_tokens.T.astype(x.dtype)
-        return logits, x, new_self
+        return self._unit_logits(x), x, new_self
 
     def fill_cross_caches(self, enc_new, cross_caches):
         return [layer.fill_cross(enc_new, cc)

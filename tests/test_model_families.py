@@ -66,3 +66,37 @@ def test_arch_registry_builds_models():
         assert model is not None
         if arch == "streamspeech_cascade":
             assert cfg.cascade
+
+
+def test_stacked_embedding_and_pack_units():
+    from streamspeech_tpu.models.transformer import StackedEmbedding, pack_units
+
+    v, n = 10, 2
+    units = jnp.asarray([[4, 5, 6, 7]], jnp.int32)  # raw units 0,1,2,3
+    packed = pack_units(units, n, v)
+    # groups (0,1) and (2,3): 0 + 1*10 + 4 = 14; 2 + 3*10 + 4 = 36
+    assert np.asarray(packed).tolist() == [[14, 36]]
+
+    emb = StackedEmbedding(num_embeddings=v + 4, embed_dim=8, num_stacked=n)
+    variables = emb.init(jax.random.PRNGKey(0), packed)
+    out = emb.apply(variables, packed)
+    assert out.shape == (1, 2, 8)
+    # digit decode consistency: packing (u, u) yields same digits both slots
+    same = pack_units(jnp.asarray([[7, 7]], jnp.int32), n, v)
+    out2 = emb.apply(variables, same)
+    assert np.isfinite(np.asarray(out2)).all()
+
+
+def test_unit_decoder_n_frames_per_step():
+    from streamspeech_tpu.config import UnitDecoderConfig
+    from streamspeech_tpu.models.transformer import CTCTransformerUnitDecoder
+
+    cfg = UnitDecoderConfig(embed_dim=16, ffn_embed_dim=32, layers=1,
+                            attention_heads=2, ctc_upsample_rate=3,
+                            n_frames_per_step=2, vocab_size=20, dropout=0.0)
+    dec = CTCTransformerUnitDecoder(cfg)
+    enc = jnp.zeros((1, 4, 16))
+    variables = dec.init(jax.random.PRNGKey(0), enc)
+    logits, feats = dec.apply(variables, enc)
+    # T2U 4 → upsample 12 → n_frames 2 → 24 output frames
+    assert logits.shape == (1, 24, 20)
