@@ -45,11 +45,14 @@ def main():
     # warmup/compile
     jax.block_until_ready(fwd(variables, src, lens, mt))
     n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
-        out = fwd(variables, src, lens, mt)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / n_iter
+    times = []
+    for _ in range(3):  # median of 3 trials for stability
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = fwd(variables, src, lens, mt)
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / n_iter)
+    dt = sorted(times)[1]
 
     rtf = audio_seconds / dt  # x real time
     baseline_rtf = 1.0 / 1.326  # reference example-run: RTF 1.326 (time/audio)
