@@ -152,6 +152,44 @@ def cmd_kmeans_train(args):
     print(f"saved [{k}, {x.shape[1]}] centroids to {args.output}")
 
 
+def cmd_hubert_features(args):
+    """Extract (m)HuBERT layer features for unit learning/quantization —
+    replaces the reference's torch hubert_feature_reader stage. Requires the
+    released checkpoint (pretrain_models/README.md download instructions)."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamspeech_tpu.data.dataset import load_audio_or_features
+    from streamspeech_tpu.models.hubert import HubertModel
+    from streamspeech_tpu.train.checkpoint import import_hubert
+
+    model = HubertModel()
+    variables = import_hubert(args.checkpoint)
+    out_dir = Path(args.output)
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("layer",))
+    def extract(v, wav, layer):
+        return model.apply(v, wav, output_layer=layer)
+
+    feat_list = []
+    root = Path(args.wav_list).parent
+    for line in Path(args.wav_list).read_text().splitlines():
+        if not line.strip():
+            continue
+        wav = load_audio_or_features(line.strip(), root)
+        n = (len(wav) // 320) * 320  # bucket to the model's total stride
+        feats = np.asarray(extract(variables, jnp.asarray(wav[None, :n]),
+                                   args.layer))[0]
+        out = out_dir / (Path(line.strip()).stem + ".npy")
+        np.save(out, feats.astype(np.float32))
+        feat_list.append(str(out))
+    (out_dir / "feature_list.txt").write_text("\n".join(feat_list) + "\n")
+    print(f"extracted {len(feat_list)} feature files (layer {args.layer})")
+
+
 def cmd_make_manifest(args):
     src = {r.split("\t")[0]: r for r in
            Path(args.fbank_manifest).read_text().splitlines()[1:] if r}
@@ -193,6 +231,14 @@ def main(argv=None):
     s.add_argument("--iterations", type=int, default=50)
     s.add_argument("--output", required=True)
     s.set_defaults(fn=cmd_kmeans_train)
+
+    s = sub.add_parser("hubert-features")
+    s.add_argument("--wav-list", required=True)
+    s.add_argument("--checkpoint", required=True,
+                   help="released mHuBERT .pt (see pretrain_models/README.md)")
+    s.add_argument("--layer", type=int, default=11)
+    s.add_argument("--output", required=True)
+    s.set_defaults(fn=cmd_hubert_features)
 
     s = sub.add_parser("make-manifest")
     s.add_argument("--fbank-manifest", required=True)

@@ -393,6 +393,50 @@ def export_fairseq_streamspeech(params: Dict, batch_stats: Dict) -> Dict[str, np
     return sd
 
 
+def import_hubert(path: str) -> Dict:
+    """Released (m)HuBERT fairseq checkpoint → params for models.hubert.HubertModel
+    (the mHuBERT feature extractor the preprocess pipeline uses, SURVEY §2.8)."""
+    import torch
+
+    state = torch.load(path, map_location="cpu", weights_only=False)
+    sd = state["model"] if "model" in state else state
+
+    params: Dict[str, Any] = {}
+    fe: Dict[str, Any] = {}
+    n_conv = _count_layers(sd, "feature_extractor.conv_layers")
+    for i in range(n_conv):
+        w = _t(sd[f"feature_extractor.conv_layers.{i}.0.weight"])  # [out,in,k]
+        fe[f"conv{i}_w"] = w.transpose(2, 1, 0)
+    if "feature_extractor.conv_layers.0.2.weight" in sd:
+        fe["group_norm"] = {
+            "scale": _t(sd["feature_extractor.conv_layers.0.2.weight"]),
+            "bias": _t(sd["feature_extractor.conv_layers.0.2.bias"]),
+        }
+    params["feature_extractor"] = fe
+    params["layer_norm_extract"] = _ln(sd, "layer_norm")
+    params["post_extract_proj"] = _linear(sd, "post_extract_proj", {})
+
+    # pos conv is weight-normed over dim=2 (per kernel position)
+    g = _t(sd["encoder.pos_conv.0.weight_g"])          # [1, 1, K]
+    v = _t(sd["encoder.pos_conv.0.weight_v"])          # [Cout, Cin/g, K]
+    norm = np.sqrt((v ** 2).sum(axis=(0, 1), keepdims=True))
+    w = (g * v / np.maximum(norm, 1e-12))
+    params["pos_conv_w"] = w.transpose(2, 1, 0)        # [K, Cin/g, Cout]
+    params["pos_conv_b"] = _t(sd["encoder.pos_conv.0.bias"])
+    params["encoder_layer_norm"] = _ln(sd, "encoder.layer_norm")
+
+    for i in range(_count_layers(sd, "encoder.layers")):
+        p = f"encoder.layers.{i}"
+        params[f"layers_{i}"] = {
+            "self_attn": _mha(sd, f"{p}.self_attn"),
+            "self_attn_layer_norm": _ln(sd, f"{p}.self_attn_layer_norm"),
+            "fc1": _linear(sd, f"{p}.fc1", {}),
+            "fc2": _linear(sd, f"{p}.fc2", {}),
+            "final_layer_norm": _ln(sd, f"{p}.final_layer_norm"),
+        }
+    return {"params": params}
+
+
 # ---------------------------------------------------------------------------
 # HiFi-GAN vocoder import
 # ---------------------------------------------------------------------------
