@@ -99,3 +99,21 @@ def test_hubert_import_structure(tmp_path):
         np.random.RandomState(1).randn(1, 3200).astype(np.float32) * 0.1),
         output_layer=3)
     assert np.isfinite(np.asarray(feats)).all()
+
+
+def test_wav2vec2_ctc_asr_fn():
+    from streamspeech_tpu.models.wav2vec2_ctc import (
+        Wav2Vec2CTC,
+        make_wav2vec2_asr_fn,
+    )
+
+    model = Wav2Vec2CTC(vocab_size=8, embed_dim=32, ffn_dim=64, heads=2,
+                        num_layers=2)
+    wav = jnp.zeros((1, 3200))
+    variables = model.init(jax.random.PRNGKey(0), wav)
+    em = model.apply(variables, wav)
+    assert em.shape[-1] == 8
+    letters = ["<blank>", "|", "a", "b", "c", "d", "e", "f"]
+    asr_fn = make_wav2vec2_asr_fn(model, variables, letters)
+    text = asr_fn(np.random.RandomState(0).randn(3200).astype(np.float32) * 0.1)
+    assert isinstance(text, str)
