@@ -188,6 +188,72 @@ class OfflineGenerator:
 
     # ------------------------------------------------------------------
 
+    def generate_batch_greedy(self, feats_list, chunk_size: Optional[int] = None,
+                              conv_chunk_size: Optional[int] = None,
+                              max_tokens: int = 64):
+        """Batched greedy offline inference (beam=1): pads a whole batch, runs
+        one encode + one scanned greedy decode + one NAR pass — the throughput
+        path for dataset-scale offline evaluation (fairseq-generate batches the
+        same way; the beam>1 path stays per-utterance)."""
+        b = len(feats_list)
+        t = max(f.shape[0] for f in feats_list)
+        pad_t = -(-t // 32) * 32
+        src = np.zeros((b, pad_t, feats_list[0].shape[1]), np.float32)
+        lens = np.zeros((b,), np.int32)
+        for i, f in enumerate(feats_list):
+            src[i, : f.shape[0]] = f
+            lens[i] = f.shape[0]
+        chunk = 99999 if chunk_size is None else chunk_size
+        conv_chunk = 99999 if conv_chunk_size is None else conv_chunk_size
+        enc, enc_lens, asr_ids, st_ids = self._encode(
+            self.variables, jnp.asarray(src), jnp.asarray(lens),
+            chunk=chunk, conv_chunk=conv_chunk)
+
+        # batched scanned greedy decode over KV caches
+        c = self.model.cfg.mt_decoder
+        h, dh = c.attention_heads, c.embed_dim // c.attention_heads
+        self_c = [KVCache.create(b, max_tokens + 2, h, dh)
+                  for _ in range(c.layers)]
+        cross = [KVCache.create(b, enc.shape[1], h, dh)
+                 for _ in range(c.layers)]
+        cross = self._fill_cross(self.variables, enc, cross)
+        # per-example key validity (the cache index is shared batch-wide, but
+        # padded encoder rows must be masked per example)
+        cross_valid = jnp.arange(enc.shape[1])[None, :] < \
+            jnp.asarray(enc_lens)[:, None]
+        first = jnp.full((b,), EOS, jnp.int32)
+        toks, emitted, hit_eos, _ = self.model.apply(
+            self.variables, first, jnp.asarray(0, jnp.int32),
+            jnp.asarray(max_tokens, jnp.int32), self_c, cross, max_tokens,
+            cross_valid, method=StreamSpeechModel.mt_decode_greedy)
+        toks = np.asarray(toks)
+        emitted = np.asarray(emitted)
+
+        s_pad = -(-int(emitted.max() + 1) // 8) * 8
+        prev = np.full((b, s_pad), PAD, np.int32)
+        prev[:, 0] = EOS
+        for i in range(b):
+            prev[i, 1: emitted[i] + 1] = toks[i, : emitted[i]]
+        unit_ids = self._synthesize(self.variables, jnp.asarray(prev), enc,
+                                    jnp.asarray(enc_lens))
+        up = self.model.cfg.unit_decoder.ctc_upsample_rate
+        unit_blank = self.model.cfg.unit_decoder.vocab_size - 1
+        results = []
+        for i in range(b):
+            e = int(enc_lens[i])
+            asr_tokens, _ = ctc_collapse(np.asarray(asr_ids[i])[:e], blank=0)
+            st_tokens, _ = ctc_collapse(np.asarray(st_ids[i])[:e], blank=0)
+            ids = np.asarray(unit_ids[i])[: (emitted[i] + 1) * up]
+            units, _ = ctc_collapse(ids, blank=unit_blank, pad=PAD)
+            units = [u for u in units if 4 <= u < unit_blank]
+            results.append({
+                "asr_tokens": asr_tokens,
+                "st_tokens": st_tokens,
+                "mt_tokens": toks[i, : emitted[i]].tolist(),
+                "units": units,
+            })
+        return results
+
     def generate(self, feats: np.ndarray, chunk_size: Optional[int] = None,
                  conv_chunk_size: Optional[int] = None) -> Dict:
         """Full offline pass on one utterance: returns dict with asr/st token

@@ -186,7 +186,7 @@ class StreamSpeechModel(nn.Module):
                                     cross_caches, None)
 
     def mt_decode_greedy(self, first_token, offset, budget, self_caches,
-                         cross_caches, max_steps: int = 16):
+                         cross_caches, max_steps: int = 16, cross_valid=None):
         """Greedy-decode up to ``budget`` (≤ max_steps) MT tokens in ONE jitted
         call via lax.scan — a single host↔device round trip per policy call
         instead of one per token (the reference pays a full generator run per
@@ -199,7 +199,7 @@ class StreamSpeechModel(nn.Module):
         def body(carry, i):
             feed, emitted, stopped, caches = carry
             logits, _, caches = self.mt_decoder.step(
-                feed[:, None], offset + i, caches, cross_caches, None)
+                feed[:, None], offset + i, caches, cross_caches, cross_valid)
             nxt = jnp.argmax(logits[:, -1], axis=-1).astype(jnp.int32)
             nxt = jnp.where(nxt == pad, eos, nxt)  # never emit pad
             valid = (~stopped) & (nxt != eos) & (emitted < budget)

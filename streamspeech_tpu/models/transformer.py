@@ -372,19 +372,18 @@ class TransformerDecoder(nn.Module):
         return self.output_layer(x), x
 
     def step(self, tokens_new, position_offset, self_caches, cross_caches,
-             enc_len, allowed_cross=None):
+             cross_valid=None, allowed_cross=None):
         """Incremental decode: tokens_new [B, S_new]; position_offset = number of
-        tokens already decoded. cross_caches hold projected encoder K/V (growing as
-        chunks arrive). Returns (logits, features, self_caches')."""
+        tokens already decoded. cross_caches hold projected encoder K/V (growing
+        as chunks arrive; validity from cache.index unless a per-example
+        cross_valid [B, T] is given — needed for padded batched decoding).
+        Returns (logits, features, self_caches')."""
         b, s = tokens_new.shape
         positions = PAD + 1 + position_offset + jnp.arange(s, dtype=jnp.int32)[None]
         x = self.embed(tokens_new, jnp.broadcast_to(positions, (b, s)))
         new_self = []
-        enc_valid = None
-        if enc_len is not None:
-            pass  # validity handled by cross_cache.index inside attention
         for layer, sc, cc in zip(self.layers, self_caches, cross_caches):
-            x, sc = layer(x, None, None, allowed_cross, None, enc_valid,
+            x, sc = layer(x, None, None, allowed_cross, None, cross_valid,
                           True, sc, cc)
             new_self.append(sc)
         if self.final_layer_norm is not None:

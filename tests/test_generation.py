@@ -62,3 +62,17 @@ def test_generate_outputs_well_formed(setup):
     assert all(4 <= u < unit_blank for u in out["units"])
     assert all(t not in (1, 2) for t in out["mt_tokens"])
     assert isinstance(out["asr_tokens"], list)
+
+
+def test_batched_greedy_matches_single(setup):
+    cfg, model, variables = setup
+    rng = np.random.RandomState(5)
+    feats = [rng.randn(64, 80).astype(np.float32),
+             rng.randn(48, 80).astype(np.float32)]
+    gen = OfflineGenerator(model, variables, beam=1, max_len=8)
+    batched = gen.generate_batch_greedy(feats, max_tokens=8)
+    for f, got in zip(feats, batched):
+        single = gen.generate(f)
+        assert got["mt_tokens"] == single["mt_tokens"], (got, single)
+        assert got["asr_tokens"] == single["asr_tokens"]
+        assert got["units"] == single["units"]

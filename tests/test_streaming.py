@@ -125,14 +125,18 @@ def test_synthesize_units_runs(setup):
 
 def test_mt_truncate_rollback(setup):
     cfg, model, variables, engine = setup
-    rng = np.random.RandomState(4)
-    feats = rng.randn(64, 80).astype(np.float32)
-    s1 = engine.new_session()
-    s1.push_features(feats, 4, 8, finished=True)
-    full = s1.mt_decode(max_new_tokens=6)
-    if len(full) < 3:
-        pytest.skip("hypothesis too short for truncation test")
-    # decode 6, truncate to 2, re-decode → must match the untruncated trajectory
+    full = []
+    # random tiny models may emit EOS immediately; scan seeds for a hypothesis
+    # long enough to exercise the rollback (deterministic given the fixture)
+    for seed in range(12):
+        feats = np.random.RandomState(seed).randn(64, 80).astype(np.float32)
+        s1 = engine.new_session()
+        s1.push_features(feats, 4, 8, finished=True)
+        full = s1.mt_decode(max_new_tokens=6)
+        if len(full) >= 3:
+            break
+    assert len(full) >= 3, "no seed produced a >=3-token hypothesis"
+    # decode, truncate to 2, re-decode → must match the untruncated trajectory
     s1.mt_truncate(2)
     redone = s1.mt_decode(max_new_tokens=len(full) - 2)
     assert redone == full
