@@ -16,7 +16,7 @@ full per-chunk recomputation; outputs are identical (tests/test_streaming.py).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional
 
 import numpy as np

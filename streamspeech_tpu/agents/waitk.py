@@ -10,9 +10,7 @@ differs.
 
 from __future__ import annotations
 
-from typing import List, Optional
-
-import numpy as np
+from typing import List
 
 from streamspeech_tpu.agents.base import (
     ReadAction,

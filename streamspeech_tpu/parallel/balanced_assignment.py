@@ -11,8 +11,6 @@ from __future__ import annotations
 import ctypes
 import subprocess
 from pathlib import Path
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
