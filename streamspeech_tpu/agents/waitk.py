@@ -118,12 +118,10 @@ class WaitkS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
         self.session.mt_decode(budget, max_len=cfg.max_len)
         if self.session.mt_tokens == prev and not finished:
             return ReadAction()
-        units = self.session.synthesize_units(self.unit_blank)
+        units, wav, dur = self.session.emit()
         cur = units[len(self.units):]
         if not cur:
             return self._final() if finished else ReadAction()
-        codes = [u - self.unit_dict.nspecial for u in units]
-        wav, dur = self.session.vocode(codes)
         cur_len = int(dur[-len(cur):].sum()) * 320
         new_wav = wav[len(wav) - cur_len:] if cur_len else wav[:0]
         self.units = units
