@@ -73,6 +73,8 @@ def main(argv=None):
     p.add_argument("--src-dict", type=str, default=None)
     p.add_argument("--tgt-dict", type=str, default=None)
     p.add_argument("--beam", type=int, default=1)
+    p.add_argument("--batch-size", type=int, default=1,
+                   help="batched greedy decoding (beam must be 1)")
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--lenpen", type=float, default=1.0)
     p.add_argument("--output", type=str, default=None)
@@ -117,11 +119,7 @@ def main(argv=None):
             if line.strip():
                 refs.append((str(i), line.strip()))
 
-    for utt_id, ref in refs:
-        x = load_audio_or_features(ref, manifest.parent)
-        if x.ndim == 1:
-            x = np.asarray(logmelfbank(x))
-        out = gen.generate(x)
+    def emit_result(utt_id, out):
         asr = src_dict.string(out["asr_tokens"], spm_to_text=True) \
             if src_dict else " ".join(map(str, out["asr_tokens"]))
         mt = tgt_dict.string(out["mt_tokens"], spm_to_text=True) \
@@ -141,6 +139,21 @@ def main(argv=None):
 
             write_wav(out_dir / f"{utt_id}_pred.wav",
                       np.asarray(wav[0][: int(n[0])]), 16000)
+
+    def load_feats(ref):
+        x = load_audio_or_features(ref, manifest.parent)
+        return np.asarray(logmelfbank(x)) if x.ndim == 1 else x
+
+    if args.batch_size > 1 and args.beam == 1:
+        for i in range(0, len(refs), args.batch_size):
+            chunk = refs[i: i + args.batch_size]
+            outs = gen.generate_batch_greedy([load_feats(r) for _, r in chunk],
+                                             max_tokens=min(args.max_len, 64))
+            for (utt_id, _), out in zip(chunk, outs):
+                emit_result(utt_id, out)
+    else:
+        for utt_id, ref in refs:
+            emit_result(utt_id, gen.generate(load_feats(ref)))
     if unit_f:
         unit_f.close()
 
