@@ -107,8 +107,12 @@ class Conv1dSubsampler(nn.Module):
             x_block = a * jax.nn.sigmoid(g)
             if valid_len is not None:
                 valid_len = -(-valid_len // 2)  # ceil(valid / stride)
-                keep = jnp.arange(x_block.shape[1], dtype=jnp.int32) < valid_len
-                x_block = x_block * keep[None, :, None].astype(x_block.dtype)
+                r = jnp.arange(x_block.shape[1], dtype=jnp.int32)
+                if jnp.ndim(valid_len) == 0:
+                    keep = (r < valid_len)[None, :, None]
+                else:  # per-example [B] (batched lockstep serving)
+                    keep = (r[None, :] < valid_len[:, None])[:, :, None]
+                x_block = x_block * keep.astype(x_block.dtype)
         return x_block, tuple(new_ctxs)
 
     @staticmethod
@@ -173,7 +177,8 @@ class ConformerLayer(nn.Module):
         x = residual + 0.5 * self.ffn2(x, deterministic)
         return self.final_layer_norm(x)
 
-    def step(self, x, pos_emb, allowed, kv, conv_ctx, q_offset, conv_chunk_size):
+    def step(self, x, pos_emb, allowed, kv, conv_ctx, q_offset, conv_chunk_size,
+             frame_valid=None):
         """Incremental block step (eval mode). Returns (y, kv', conv_ctx')."""
         residual = x
         x = residual + 0.5 * self.ffn1(x, True)
@@ -182,7 +187,8 @@ class ConformerLayer(nn.Module):
         x, kv = self._attend(x, pos_emb, allowed, None, kv, q_offset, True)
         x = residual + x
         residual = x
-        y, conv_ctx = self.conv_module.step(x, conv_ctx, conv_chunk_size)
+        y, conv_ctx = self.conv_module.step(x, conv_ctx, conv_chunk_size,
+                                            frame_valid)
         x = residual + y
         residual = x
         x = residual + 0.5 * self.ffn2(x, True)
@@ -309,11 +315,24 @@ class ChunkConformerEncoder(nn.Module):
         j_abs = jnp.arange(max_frames, dtype=jnp.int32)[None, :]
         allowed = j_abs < (q_abs // chunk_size + 1) * chunk_size
 
+        # Per-example valid_len ([B], batched lockstep serving): a stream whose
+        # final partial block rides inside the shared full block produces
+        # garbage frames after its true end WITHIN the same attention/conv
+        # chunk. Mask them as attention keys and as depthwise-conv taps so each
+        # stream's real frames match its single-stream encoding exactly.
+        frame_valid = None
+        if valid_len is not None and jnp.ndim(valid_len) == 1:
+            out_valid = -(-valid_len // 4)      # two stride-2 subsample convs
+            enc_end = state.pos + out_valid                      # [B] absolute
+            allowed = allowed[None] & (j_abs[None] < enc_end[:, None, None])
+            frame_valid = (state.pos + jnp.arange(s, dtype=jnp.int32))[None, :] \
+                < enc_end[:, None]                               # [B, s]
+
         new_kv: List[KVCache] = []
         new_conv: List[jnp.ndarray] = []
         for layer, kv, cc in zip(self.layers, state.kv, state.conv_ctx):
             x, kv, cc = layer.step(x, pos_emb, allowed, kv, cc, state.pos,
-                                   conv_chunk_size)
+                                   conv_chunk_size, frame_valid)
             new_kv.append(kv)
             new_conv.append(cc)
         new_state = EncoderStreamState(sub_ctx=sub_ctx, conv_ctx=tuple(new_conv),

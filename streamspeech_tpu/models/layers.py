@@ -61,11 +61,11 @@ class KVCache:
 
     @classmethod
     def create(cls, batch: int, max_len: int, num_heads: int, head_dim: int,
-               dtype=jnp.float32) -> "KVCache":
+               dtype=jnp.float32, per_example_index: bool = False) -> "KVCache":
         return cls(
             k=jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
             v=jnp.zeros((batch, max_len, num_heads, head_dim), dtype),
-            index=jnp.zeros((), jnp.int32),
+            index=jnp.zeros((batch,) if per_example_index else (), jnp.int32),
         )
 
     @property
@@ -81,14 +81,28 @@ class KVCache:
 
 def _append_kv(cache: KVCache, k_new: jnp.ndarray, v_new: jnp.ndarray
                ) -> Tuple[KVCache, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Write S new positions at cache.index; returns (cache', k_all, v_all, valid[T_max])."""
+    """Write S new positions at cache.index; returns (cache', k_all, v_all, valid).
+
+    cache.index may be a scalar (all batch rows aligned — the single-stream
+    fast path) or per-example [B] (multi-stream serving where each stream's
+    decode position differs); the per-example path vmaps the slice update and
+    valid becomes [B, T_max]."""
     s = k_new.shape[1]
-    k = jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype),
-                                     (0, cache.index, 0, 0))
-    v = jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype),
-                                     (0, cache.index, 0, 0))
-    new_index = cache.index + s
-    valid = jnp.arange(cache.max_len, dtype=jnp.int32) < new_index
+    if cache.index.ndim == 0:
+        k = jax.lax.dynamic_update_slice(cache.k, k_new.astype(cache.k.dtype),
+                                         (0, cache.index, 0, 0))
+        v = jax.lax.dynamic_update_slice(cache.v, v_new.astype(cache.v.dtype),
+                                         (0, cache.index, 0, 0))
+        new_index = cache.index + s
+        valid = jnp.arange(cache.max_len, dtype=jnp.int32) < new_index
+    else:
+        upd = jax.vmap(lambda buf, new, i: jax.lax.dynamic_update_slice(
+            buf, new, (i, 0, 0)))
+        k = upd(cache.k, k_new.astype(cache.k.dtype), cache.index)
+        v = upd(cache.v, v_new.astype(cache.v.dtype), cache.index)
+        new_index = cache.index + s
+        valid = jnp.arange(cache.max_len, dtype=jnp.int32)[None, :] < \
+            new_index[:, None]
     return dataclasses.replace(cache, k=k, v=v, index=new_index), k, v, valid
 
 
@@ -181,7 +195,9 @@ class MultiHeadAttention(nn.Module):
         elif cache is not None:
             # cached cross-attention: encoder K/V already in the cache (filled by
             # caller via fill_cross_cache); attend over valid prefix.
-            valid = jnp.arange(cache.max_len, dtype=jnp.int32) < cache.index
+            r = jnp.arange(cache.max_len, dtype=jnp.int32)
+            valid = (r < cache.index if cache.index.ndim == 0
+                     else r[None, :] < cache.index[:, None])
             bias = mask_to_bias(allowed, valid if key_valid is None else key_valid)
             out = _attend(q, cache.k, cache.v, bias, scale, self.dropout_module,
                           deterministic)
@@ -532,10 +548,18 @@ class ConvolutionModule(nn.Module):
         x = self.depthwise_conv(x, chunk_size)
         return self._post(x, deterministic, use_running_stats)
 
-    def step(self, x_new, conv_ctx, chunk_size: Optional[int]):
+    def step(self, x_new, conv_ctx, chunk_size: Optional[int], frame_valid=None):
         """Incremental: conv_ctx holds the previous post-GLU activations
-        [B, k//2, C]. Returns (y, new_ctx). Eval mode (running BN stats)."""
+        [B, k//2, C]. Returns (y, new_ctx). Eval mode (running BN stats).
+
+        frame_valid [B, S] (batched lockstep serving): positions past a
+        stream's true end must read as ZERO conv taps — exactly what the
+        single-stream step sees from the conv's internal right zero-padding —
+        so the post-GLU activations (≠0 for zero inputs: GLU(bias)) are masked
+        before the depthwise conv."""
         x = self._pre(x_new)
+        if frame_valid is not None:
+            x = x * frame_valid[:, :, None].astype(x.dtype)
         x_ctx = jnp.concatenate([conv_ctx, x], axis=1)
         x, new_ctx = self.depthwise_conv.step(x_ctx, chunk_size)
         return self._post(x, True, True), new_ctx

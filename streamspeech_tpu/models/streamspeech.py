@@ -244,7 +244,8 @@ class StreamSpeechModel(nn.Module):
         else:
             t2u = self.synthesizer_encoder(feats, mt_valid, True)
         unit_logits, _ = self.unit_decoder(t2u, enc_valid=mt_valid,
-                                           deterministic=True)
+                                           deterministic=True,
+                                           serving_positions=True)
         return jnp.argmax(unit_logits, axis=-1), unit_logits
 
 

@@ -379,7 +379,10 @@ class TransformerDecoder(nn.Module):
         cross_valid [B, T] is given — needed for padded batched decoding).
         Returns (logits, features, self_caches')."""
         b, s = tokens_new.shape
-        positions = PAD + 1 + position_offset + jnp.arange(s, dtype=jnp.int32)[None]
+        off = jnp.asarray(position_offset, jnp.int32)
+        if off.ndim == 1:
+            off = off[:, None]  # per-stream decode positions (batched serving)
+        positions = PAD + 1 + off + jnp.arange(s, dtype=jnp.int32)[None]
         x = self.embed(tokens_new, jnp.broadcast_to(positions, (b, s)))
         new_self = []
         for layer, sc, cc in zip(self.layers, self_caches, cross_caches):
@@ -456,13 +459,23 @@ class CTCTransformerUnitDecoder(nn.Module):
         src_step: Optional[int] = None,    # n2
         allowed_cross: Optional[jnp.ndarray] = None,  # overrides wait-k mask
         deterministic: bool = True,
+        serving_positions: bool = False,
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """Returns (unit logits [B, T_mt*up, V], features)."""
+        """Returns (unit logits [B, T_mt*up, V], features).
+
+        serving_positions: the positional quirk (unit_decoder_positions) gives
+        batch row b the constant embedding pe[2+b]; the reference only ever
+        runs inference at batch 1, i.e. pe[2]. Batched serving/generation sets
+        this flag so EVERY row gets the batch-1 value pe[2] — each stream then
+        matches a single-stream run exactly. Training keeps the per-row quirk
+        for reference gradient parity."""
         c = self.cfg
         b, t_mt, _ = enc.shape
         x = self.upsample(enc)
         t_up = x.shape[1]
-        x = x + unit_decoder_positions(self.pos_table, b, t_up).astype(x.dtype)
+        pos = unit_decoder_positions(self.pos_table,
+                                     1 if serving_positions else b, t_up)
+        x = x + pos.astype(x.dtype)  # [1,T,C] broadcasts over rows when serving
         x = self.dropout_module(x, deterministic=deterministic)
 
         self_valid = None

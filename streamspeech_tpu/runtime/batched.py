@@ -1,0 +1,213 @@
+"""Batched multi-stream serving: B concurrent streaming sessions in lockstep.
+
+Production serving runs many live conversations per chip. This session batches
+them: one `encode_block` call per tick advances ALL streams (the batch
+dimension), the scanned greedy MT decode takes per-stream budgets and decode
+positions (KV caches with per-example indices, models/layers._append_kv), and
+emission is batched through the NAR unit decoder + vocoder
+(StreamSpeechEngine._emit_batched). Per-stream state that differs across
+streams — hypothesis lengths, true encoder lengths once a stream finishes — is
+carried in per-example index arrays and validity masks, so every stream's
+numerics are IDENTICAL to running B independent StreamingSessions
+(tests/test_batched.py asserts this at the output level).
+
+The reference serves one utterance per agent process
+(`agent/speech_to_speech.streamspeech.agent.py` holds one `self.states`); this
+is the TPU-native scale-up: B streams share one set of compiled programs and
+one trip through the MXU per tick.
+
+Lockstep contract: all streams advance on a shared block clock. Every tick,
+each unfinished stream must have a full block of pending fbank frames buffered;
+a stream that finishes mid-block contributes its zero-padded tail with a
+per-example valid length (the encoder masks the padding as attention keys and
+conv taps — conformer.py encode_block), and afterwards contributes empty
+blocks whose outputs are discarded.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.models.layers import KVCache
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+from streamspeech_tpu.ops.ctc import ctc_collapse
+from streamspeech_tpu.runtime.session import EOS, PAD, StreamSpeechEngine, _bucket
+
+
+class BatchedStreamingSession:
+    """B lockstep streaming sessions sharing every device call."""
+
+    def __init__(self, engine: StreamSpeechEngine, batch: int):
+        self.e = engine
+        self.batch = batch
+        model, v = engine.model, engine.variables
+        c = model.cfg
+        self.enc_state = model.apply(
+            v, batch, engine.max_enc_frames,
+            method=StreamSpeechModel.encoder_stream_init)
+        self.enc_buf = jnp.zeros((batch, engine.max_enc_frames,
+                                  c.encoder.embed_dim))
+        self.enc_len = np.zeros((batch,), np.int64)   # true frames per stream
+        self.asr_ids: List[List[int]] = [[] for _ in range(batch)]
+        self.st_ids: List[List[int]] = [[] for _ in range(batch)]
+        dc = c.mt_decoder
+        h, dh = dc.attention_heads, dc.embed_dim // dc.attention_heads
+        self.mt_self = [KVCache.create(batch, engine.max_mt_tokens, h, dh,
+                                       per_example_index=True)
+                        for _ in range(dc.layers)]
+        self.mt_cross = [KVCache.create(batch, engine.max_enc_frames, h, dh)
+                         for _ in range(dc.layers)]
+        self.mt_tokens: List[List[int]] = [[] for _ in range(batch)]
+        self.mt_eos = np.zeros((batch,), bool)
+        self.feat_dim = c.encoder.input_feat_per_channel
+        self.pending = [np.zeros((0, self.feat_dim), np.float32)
+                        for _ in range(batch)]
+        self.finished_input = np.zeros((batch,), bool)
+        self.tail_done = np.zeros((batch,), bool)
+
+    # ------------------------------------------------------------------
+    # encoder side (lockstep block clock)
+    # ------------------------------------------------------------------
+
+    def push_features(self, stream: int, feats: np.ndarray,
+                      finished: bool = False) -> None:
+        """Buffer new (already CMVN'd) fbank frames for one stream. Call
+        `encode_ready_blocks` after feeding all streams for the tick."""
+        assert not self.finished_input[stream], "stream already finished"
+        self.pending[stream] = np.concatenate([self.pending[stream], feats],
+                                              axis=0)
+        if finished:
+            self.finished_input[stream] = True
+
+    def encode_ready_blocks(self, chunk_size: int, conv_chunk_size: int) -> int:
+        """Run lockstep blocks while every unfinished stream has a full block
+        buffered (finished streams contribute their valid-masked tail, then
+        empty blocks). Returns the number of blocks encoded."""
+        block_enc = math.lcm(max(chunk_size, 1), max(conv_chunk_size, 1))
+        block_frames = 4 * block_enc
+        ran = 0
+        while True:
+            have = np.asarray([p.shape[0] for p in self.pending])
+            ready = (have >= block_frames) | self.finished_input
+            # a tick needs all streams ready and at least one real frame
+            if not ready.all() or not (have > 0).any():
+                break
+            blocks = np.zeros((self.batch, block_frames, self.feat_dim),
+                              np.float32)
+            valid = np.zeros((self.batch,), np.int32)
+            for i in range(self.batch):
+                n = min(have[i], block_frames)
+                blocks[i, :n] = self.pending[i][:n]
+                self.pending[i] = self.pending[i][n:]
+                valid[i] = n
+                if self.finished_input[i] and self.pending[i].shape[0] == 0:
+                    self.tail_done[i] = True
+            self._run_block(blocks, valid, chunk_size, conv_chunk_size)
+            ran += 1
+        return ran
+
+    def _run_block(self, blocks: np.ndarray, valid: np.ndarray, chunk: int,
+                   conv_chunk: int) -> None:
+        enc, self.enc_state, self.enc_buf, asr_ids, st_ids = \
+            self.e._encode_block(self.e.variables, jnp.asarray(blocks),
+                                 self.enc_state, self.enc_buf,
+                                 jnp.asarray(valid, jnp.int32),
+                                 chunk=chunk, conv_chunk=conv_chunk)
+        self.mt_cross = self.e._mt_fill_cross(self.e.variables, enc,
+                                              self.mt_cross)
+        out_valid = -(-valid // 4)    # real encoder frames per stream
+        asr_np, st_np = np.asarray(asr_ids), np.asarray(st_ids)
+        for i in range(self.batch):
+            n = int(out_valid[i])
+            self.asr_ids[i].extend(asr_np[i, :n].tolist())
+            self.st_ids[i].extend(st_np[i, :n].tolist())
+            self.enc_len[i] += n
+
+    def ctc_hypotheses(self, stream: int) -> Dict[str, Tuple[List[int], List[int]]]:
+        return {"asr": ctc_collapse(np.asarray(self.asr_ids[stream]), blank=0),
+                "st": ctc_collapse(np.asarray(self.st_ids[stream]), blank=0)}
+
+    # ------------------------------------------------------------------
+    # MT decoding (per-example budgets/positions, one scanned call per round)
+    # ------------------------------------------------------------------
+
+    def _cross_valid(self) -> jnp.ndarray:
+        return jnp.arange(self.e.max_enc_frames)[None, :] < \
+            jnp.asarray(self.enc_len)[:, None]
+
+    def mt_decode(self, budgets: np.ndarray, max_len: int = 200
+                  ) -> List[List[int]]:
+        """Greedy continue-from-prefix for all streams at once. budgets [B]
+        (0 = hold that stream; <0 = decode to EOS). Returns the hypotheses."""
+        max_len = min(max_len, self.e.max_mt_tokens - 2,
+                      self.e.mt_buckets[-1] - 2)
+        lens = np.asarray([len(t) for t in self.mt_tokens])
+        budgets = np.where(np.asarray(budgets) < 0, max_len, budgets)
+        budgets = np.clip(budgets, 0, max_len - lens)
+        budgets = np.where(self.mt_eos, 0, budgets)
+        while (budgets > 0).any():
+            chunk_b = np.minimum(budgets, self.e.max_decode_per_call)
+            first = np.asarray([t[-1] if t else EOS for t in self.mt_tokens],
+                               np.int32)
+            offsets = np.asarray([len(t) for t in self.mt_tokens], np.int32)
+            toks, emitted, hit_eos, self.mt_self = self.e._mt_decode_greedy(
+                self.e.variables, jnp.asarray(first), jnp.asarray(offsets),
+                jnp.asarray(chunk_b, jnp.int32), self.mt_self, self.mt_cross,
+                max_steps=self.e.max_decode_per_call,
+                cross_valid=self._cross_valid())
+            toks, emitted = np.asarray(toks), np.asarray(emitted)
+            hit_eos = np.asarray(hit_eos)
+            for i in range(self.batch):
+                self.mt_tokens[i].extend(toks[i, : emitted[i]].tolist())
+                if hit_eos[i] and budgets[i] > 0:
+                    self.mt_eos[i] = True
+            new_lens = jnp.asarray([len(t) for t in self.mt_tokens], jnp.int32)
+            self.mt_self = [kv.truncate(new_lens) for kv in self.mt_self]
+            budgets = np.where(hit_eos | (emitted == 0), 0, budgets - emitted)
+        return [list(t) for t in self.mt_tokens]
+
+    def mt_truncate(self, stream: int, keep: int) -> None:
+        """Whole-word rollback for ONE stream (`agent.py:554-574` semantics);
+        other streams' caches are untouched (per-example index truncation)."""
+        keep = max(0, min(keep, len(self.mt_tokens[stream])))
+        self.mt_tokens[stream] = self.mt_tokens[stream][:keep]
+        self.mt_eos[stream] = False
+        new_lens = jnp.asarray([len(t) for t in self.mt_tokens], jnp.int32)
+        self.mt_self = [kv.truncate(new_lens) for kv in self.mt_self]
+
+    # ------------------------------------------------------------------
+    # emission (batched NAR synthesis → CTC collapse → vocoder)
+    # ------------------------------------------------------------------
+
+    def emit(self) -> List[Tuple[List[int], np.ndarray, np.ndarray]]:
+        """One fused device call for all streams: returns per-stream
+        (unit dict-ids, wav, per-unit durations)."""
+        assert self.e.vocoder is not None, "no vocoder configured"
+        lens = [len(t) + 1 for t in self.mt_tokens]
+        s = _bucket(max(lens), self.e.mt_buckets)
+        prev = np.full((self.batch, s), PAD, np.int32)
+        for i, t in enumerate(self.mt_tokens):
+            prev[i, 0] = EOS
+            prev[i, 1: len(t) + 1] = t
+        u_bucket = _bucket(
+            min(max(lens) * self.e.model.cfg.unit_decoder.ctc_upsample_rate,
+                self.e.unit_buckets[-1]), self.e.unit_buckets)
+        max_frames = u_bucket * self.e.max_dur_per_unit
+        units, count, wav, n_samples, dur = self.e._emit_batched(
+            self.e.variables, self.e.vocoder_variables, jnp.asarray(prev),
+            self.enc_buf, jnp.asarray(self.enc_len),
+            jnp.asarray(lens, jnp.int32),
+            valid_tokens_cap=s, max_frames=max_frames)
+        units, count = np.asarray(units), np.asarray(count)
+        wav, n_samples, dur = (np.asarray(wav), np.asarray(n_samples),
+                               np.asarray(dur))
+        out = []
+        for i in range(self.batch):
+            c = int(count[i])
+            out.append((units[i, :c].tolist(), wav[i, : int(n_samples[i])],
+                        dur[i, :c]))
+        return out

@@ -104,9 +104,9 @@ class StreamSpeechEngine:
 
         @functools.partial(jax.jit, static_argnames=("max_steps",))
         def mt_decode_greedy(variables, first, offset, budget, self_caches,
-                             cross_caches, max_steps):
+                             cross_caches, max_steps, cross_valid=None):
             return model.apply(variables, first, offset, budget, self_caches,
-                               cross_caches, max_steps,
+                               cross_caches, max_steps, cross_valid,
                                method=StreamSpeechModel.mt_decode_greedy)
 
         self._mt_decode_greedy = mt_decode_greedy
@@ -157,6 +157,11 @@ class StreamSpeechEngine:
                 codes = jnp.where(units == unit_blank, 0, units - nspecial)
                 capacity = max_frames // self.max_dur_per_unit
                 count = jnp.minimum(count, capacity)
+                # static resize to the vocoder bucket: capacity may exceed the
+                # available ids (few tokens, large unit bucket) — pad; excess
+                # codes are masked by dur_mask either way
+                if capacity > codes.shape[0]:
+                    codes = jnp.pad(codes, (0, capacity - codes.shape[0]))
                 codes = codes[None, :capacity]
                 dur_mask = (jnp.arange(capacity) < count).astype(jnp.int32)
                 dur = vocoder.apply(voc_vars, codes,
@@ -167,6 +172,44 @@ class StreamSpeechEngine:
                 return units, count, wav[0], n_samples[0], dur[0]
 
             self._emit = emit
+
+            @functools.partial(jax.jit,
+                               static_argnames=("valid_tokens_cap",
+                                                "max_frames"))
+            def emit_batched(variables, voc_vars, mt_tokens, enc_buf, enc_len,
+                             n_tokens, valid_tokens_cap, max_frames):
+                """Batched fused emission for multi-stream serving: the same
+                path as `emit` with per-stream token counts n_tokens [B] and
+                encoder lengths enc_len [B]; everything stays batched through
+                the NAR unit decoder, CTC collapse, and vocoder."""
+                from streamspeech_tpu.ops.ctc import ctc_collapse_device
+
+                ids = model.apply(variables, mt_tokens, enc_buf, enc_len,
+                                  method=StreamSpeechModel.synthesize_units)[0]
+                up = model.cfg.unit_decoder.ctc_upsample_rate
+                ids = ids[:, : valid_tokens_cap * up]
+                pos_valid = jnp.arange(ids.shape[1])[None, :] < \
+                    (n_tokens * up)[:, None]
+                is_unit = (ids >= nspecial) & (ids < unit_blank)
+                ids = jnp.where(pos_valid & is_unit, ids, unit_blank)
+                units, count = ctc_collapse_device(ids, blank=unit_blank)
+                codes = jnp.where(units == unit_blank, 0, units - nspecial)
+                capacity = max_frames // self.max_dur_per_unit
+                count = jnp.minimum(count, capacity)
+                if capacity > codes.shape[1]:
+                    codes = jnp.pad(codes,
+                                    ((0, 0), (0, capacity - codes.shape[1])))
+                codes = codes[:, :capacity]
+                dur_mask = (jnp.arange(capacity)[None, :]
+                            < count[:, None]).astype(jnp.int32)
+                dur = vocoder.apply(voc_vars, codes,
+                                    method=CodeGenerator.predict_durations)
+                dur = dur * dur_mask
+                wav, n_samples, dur = vocoder.apply(voc_vars, codes, dur,
+                                                    max_frames)
+                return units, count, wav, n_samples, dur
+
+            self._emit_batched = emit_batched
 
     def new_session(self) -> "StreamingSession":
         return StreamingSession(self)
