@@ -49,6 +49,10 @@ def main(argv=None):
     p.add_argument("--lagging-k1", type=int, default=0)
     p.add_argument("--stride-n", type=int, default=1)
     p.add_argument("--continue-unfinished", action="store_true", default=False)
+    p.add_argument("--batch", type=int, default=1,
+                   help="evaluate N instances concurrently through one lockstep"
+                        " batched session (s2st only; per-instance results are"
+                        " identical to --batch 1, wall-clock is ~N× better)")
     p.add_argument("--score-only", action="store_true", default=False,
                    help="re-score a previous run from output/instances.log")
     p.add_argument("--latency-metrics", nargs="*", default=None)
@@ -115,10 +119,18 @@ def main(argv=None):
         sources.append(list(np.asarray(wav, np.float32)))
     references = [ln for ln in Path(args.target).read_text().splitlines()]
 
-    ev = SentenceLevelEvaluator(
-        agent, source_segment_size=args.source_segment_size,
-        latency_metrics=args.latency_metrics,
-        quality_metrics=args.quality_metrics, output_dir=args.output)
+    if args.batch > 1 and args.agent == "s2st":
+        from streamspeech_tpu.eval.batched_evaluator import BatchedS2STEvaluator
+
+        ev = BatchedS2STEvaluator(
+            engine, agent_cfg, src_dict, tgt_dict, unit_dict, gcmvn,
+            batch=args.batch, latency_metrics=args.latency_metrics,
+            quality_metrics=args.quality_metrics, output_dir=args.output)
+    else:
+        ev = SentenceLevelEvaluator(
+            agent, source_segment_size=args.source_segment_size,
+            latency_metrics=args.latency_metrics,
+            quality_metrics=args.quality_metrics, output_dir=args.output)
     scores = ev(sources, references,
                 continue_unfinished=args.continue_unfinished)
     for k, v in scores.items():

@@ -62,7 +62,6 @@ class BatchedStreamingSession:
         self.mt_cross = [KVCache.create(batch, engine.max_enc_frames, h, dh)
                          for _ in range(dc.layers)]
         self.mt_tokens: List[List[int]] = [[] for _ in range(batch)]
-        self.mt_eos = np.zeros((batch,), bool)
         self.feat_dim = c.encoder.input_feat_per_channel
         self.pending = [np.zeros((0, self.feat_dim), np.float32)
                         for _ in range(batch)]
@@ -147,8 +146,9 @@ class BatchedStreamingSession:
                       self.e.mt_buckets[-1] - 2)
         lens = np.asarray([len(t) for t in self.mt_tokens])
         budgets = np.where(np.asarray(budgets) < 0, max_len, budgets)
+        # EOS is NOT sticky across calls: like the single session, the next
+        # call re-predicts against the (possibly grown) encoder context
         budgets = np.clip(budgets, 0, max_len - lens)
-        budgets = np.where(self.mt_eos, 0, budgets)
         while (budgets > 0).any():
             chunk_b = np.minimum(budgets, self.e.max_decode_per_call)
             first = np.asarray([t[-1] if t else EOS for t in self.mt_tokens],
@@ -163,8 +163,6 @@ class BatchedStreamingSession:
             hit_eos = np.asarray(hit_eos)
             for i in range(self.batch):
                 self.mt_tokens[i].extend(toks[i, : emitted[i]].tolist())
-                if hit_eos[i] and budgets[i] > 0:
-                    self.mt_eos[i] = True
             new_lens = jnp.asarray([len(t) for t in self.mt_tokens], jnp.int32)
             self.mt_self = [kv.truncate(new_lens) for kv in self.mt_self]
             budgets = np.where(hit_eos | (emitted == 0), 0, budgets - emitted)
@@ -175,7 +173,6 @@ class BatchedStreamingSession:
         other streams' caches are untouched (per-example index truncation)."""
         keep = max(0, min(keep, len(self.mt_tokens[stream])))
         self.mt_tokens[stream] = self.mt_tokens[stream][:keep]
-        self.mt_eos[stream] = False
         new_lens = jnp.asarray([len(t) for t in self.mt_tokens], jnp.int32)
         self.mt_self = [kv.truncate(new_lens) for kv in self.mt_self]
 

@@ -67,6 +67,7 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
 
 
 def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
+    import jax
     import orbax.checkpoint as ocp
 
     ckptr = ocp.PyTreeCheckpointer()
@@ -76,7 +77,17 @@ def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
             "opt_state": target.opt_state, "step": target.step,
         }
         return ckptr.restore(Path(path).absolute(), item=payload)
-    return ckptr.restore(Path(path).absolute())
+    try:
+        return ckptr.restore(Path(path).absolute())
+    except ValueError:
+        # cross-topology restore (e.g. trained on a pod / saved on CPU, served
+        # on one chip): the recorded shardings don't resolve on this backend —
+        # re-restore everything as host numpy; jit puts it on device on use
+        tree = ckptr.metadata(Path(path).absolute()).item_metadata
+        restore_args = jax.tree_util.tree_map(
+            lambda _: ocp.RestoreArgs(restore_type=np.ndarray), tree)
+        return ckptr.restore(Path(path).absolute(),
+                             restore_args=restore_args)
 
 
 # ---------------------------------------------------------------------------
