@@ -287,9 +287,10 @@ class RelPosMultiHeadAttention(nn.Module):
         # Fused Pallas path (TPU, no-cache full self-attention): ~30x faster
         # forward and ~140x faster fwd+bwd than the XLA path below at T≈1k by
         # never materializing bd_full [B,H,T,2T-1]. Eval uses it by default;
-        # training uses it when STREAMSPEECH_PALLAS_TRAIN=1 (the kernel applies
-        # no attention-prob dropout, a regularization difference vs the
-        # reference — hence opt-in).
+        # training uses it when STREAMSPEECH_PALLAS_TRAIN=1 — attention-prob
+        # dropout is FUSED into the kernel (the mask is regenerated in the
+        # backward from a scalar seed; same Bernoulli(1-p)/(1-p) semantics as
+        # nn.Dropout, different RNG stream than the XLA path).
         import os as _os
         pallas_train = bool(_os.environ.get("STREAMSPEECH_PALLAS_TRAIN"))
         if (cache is None and (deterministic or pallas_train) and s == t
@@ -312,12 +313,18 @@ class RelPosMultiHeadAttention(nn.Module):
             if p_bhd.shape[1] < r_pad:
                 p_bhd = jnp.pad(p_bhd,
                                 ((0, 0), (0, r_pad - p_bhd.shape[1]), (0, 0)))
+            rate = 0.0 if deterministic else float(self.dropout)
+            seed = None
+            if rate > 0.0:
+                seed = jax.random.randint(
+                    self.make_rng("dropout"), (1, 1), 0,
+                    jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
             out = relpos_attention_trainable(
                 q_u.transpose(0, 2, 1, 3).astype(jnp.float32),
                 q_v.transpose(0, 2, 1, 3).astype(jnp.float32),
                 k.transpose(0, 2, 1, 3).astype(jnp.float32),
                 v.transpose(0, 2, 1, 3).astype(jnp.float32),
-                p_bhd.astype(jnp.float32), bias, scale, block_q)
+                p_bhd.astype(jnp.float32), bias, seed, scale, block_q, rate)
             out = out.transpose(0, 2, 1, 3).astype(x.dtype)
             out = self.out_proj(out.reshape(b, s, self.embed_dim))
             return (out, None)

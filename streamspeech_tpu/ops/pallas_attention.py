@@ -33,8 +33,25 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, out_ref, *,
-            scale: float, bq: int, t: int):
+def _dropout_keep(seed_val, bb, hh, qi, shape, rate: float):
+    """Deterministic in-kernel dropout mask: seeding from (seed, b, h, q-block)
+    makes forward and backward regenerate the SAME mask without saving a
+    [B,H,T,T] residual (the whole point of the fused kernel). The coordinates
+    are folded into one scalar with odd 32-bit mixing constants (this Mosaic
+    version rejects multi-operand prng_seed; int32 products wrap). TPU-only —
+    the PRNG has no interpret-mode lowering."""
+    mix = (seed_val + bb * (-1640531527)        # 0x9E3779B9
+           + hh * (-2045698063)                 # 0x860DF7F1
+           + qi * (-1028477379))                # 0xC2B2AE3D
+    pltpu.prng_seed(mix)
+    bits = pltpu.prng_random_bits(shape)
+    u = jax.lax.shift_right_logical(bits, 8).astype(jnp.float32) * (
+        1.0 / (1 << 24))
+    return u >= rate
+
+
+def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, seed_ref, out_ref,
+            *, scale: float, bq: int, t: int, dropout_rate: float):
     qi = pl.program_id(2)
     qu = qu_ref[0, 0]            # [BQ, D]
     qv = qv_ref[0, 0]
@@ -64,17 +81,25 @@ def _kernel(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, out_ref, *,
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref[0, 0], pl.program_id(0), pl.program_id(1),
+                             qi, (bq, t), dropout_rate)
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
     out = jnp.dot(probs.astype(v.dtype), v,
                   preferred_element_type=jnp.float32)
     out_ref[0, 0] = out.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret"))
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret",
+                                              "dropout_rate"))
 def relpos_attention(q_u, q_v, k, v, p, bias, scale: float,
-                     block_q: int = 128, interpret: bool = False):
+                     block_q: int = 128, interpret: bool = False,
+                     dropout_rate: float = 0.0, seed=None):
     """q_u/q_v/k/v: [B, H, T, D]; p: [H, 2T-1, D] (per-head projected rel-pos
     table, index 0 ↔ r = T-1); bias: [B, 1 or H, T, T] additive f32 (chunk mask
-    + key validity). Returns [B, H, T, D] (fp32 accumulation)."""
+    + key validity). dropout_rate > 0 applies attention-prob dropout in-kernel
+    (seed: int32 [1,1]; TPU-compiled only). Returns [B, H, T, D] (fp32
+    accumulation)."""
     b, h, t, d = q_u.shape
     bq = min(block_q, t)
     while t % bq != 0:
@@ -90,9 +115,14 @@ def relpos_attention(q_u, q_v, k, v, p, bias, scale: float,
         p = jnp.pad(p, ((0, 0), (0, r_pad - p.shape[1]), (0, 0)))
 
     bias_h = bias.shape[1]
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    assert not (dropout_rate > 0.0 and interpret), \
+        "in-kernel dropout needs the TPU PRNG (no interpret-mode lowering)"
 
     return pl.pallas_call(
-        functools.partial(_kernel, scale=scale, bq=bq, t=t),
+        functools.partial(_kernel, scale=scale, bq=bq, t=t,
+                          dropout_rate=dropout_rate),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
@@ -102,11 +132,12 @@ def relpos_attention(q_u, q_v, k, v, p, bias, scale: float,
             pl.BlockSpec((1, p.shape[1], d), lambda bb, hh, qq: (hh, 0, 0)),
             pl.BlockSpec((1, 1, bq, t),
                          lambda bb, hh, qq: (bb, hh if bias_h > 1 else 0, qq, 0)),
+            pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
         interpret=interpret,
-    )(q_u, q_v, k, v, p, bias)
+    )(q_u, q_v, k, v, p, bias, seed)
 
 
 # ---------------------------------------------------------------------------
@@ -119,7 +150,11 @@ def relpos_attention(q_u, q_v, k, v, p, bias, scale: float,
 
 
 def _recompute_probs_and_dscores(qu, qv, k, v, p_slice, bias, g, *, scale, bq,
-                                 t, w_pad):
+                                 t, w_pad, dropout_rate=0.0, seed_ids=None):
+    """Returns (probs_for_dv, dscores). With dropout, the SAME mask as the
+    forward is regenerated from (seed, b, h, q-block):
+      o = (m ∘ p)/(1-r) @ v  ⇒  dp = (g vᵀ) ∘ m/(1-r),  dv = ((m ∘ p)/(1-r))ᵀ g
+    and the softmax backward is unchanged in form."""
     ac = jnp.dot(qu, k.T, preferred_element_type=jnp.float32)
     band = jnp.dot(qv, p_slice.T, preferred_element_type=jnp.float32)
     sheared = pltpu.roll(band, shift=w_pad - bq + 1, axis=1, stride=1,
@@ -129,9 +164,17 @@ def _recompute_probs_and_dscores(qu, qv, k, v, p_slice, bias, g, *, scale, bq,
     e = jnp.exp(scores - m)
     probs = e / jnp.sum(e, axis=-1, keepdims=True)
     dprobs = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        seed_val, bb, hh, qi = seed_ids
+        keep = _dropout_keep(seed_val, bb, hh, qi, (bq, t), dropout_rate)
+        inv = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+        dprobs = dprobs * inv
+        probs_for_dv = probs * inv
+    else:
+        probs_for_dv = probs
     dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
                                         keepdims=True)) * scale
-    return probs, dscores
+    return probs_for_dv, dscores
 
 
 def _unshear(dscores, *, bq, t, w_pad):
@@ -148,7 +191,8 @@ def _unshear(dscores, *, bq, t, w_pad):
 
 
 def _bwd_kernel_a(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
-                  dqu_ref, dqv_ref, dk_ref, dv_ref, *, scale, bq, t):
+                  seed_ref, dqu_ref, dqv_ref, dk_ref, dv_ref, *, scale, bq, t,
+                  dropout_rate):
     qi = pl.program_id(2)
     w_pad = _round_up(t + bq - 1, 128)
     start = t - bq - qi * bq
@@ -157,7 +201,8 @@ def _bwd_kernel_a(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
     p_slice = p_ref[0, pl.ds(start, w_pad), :]
     probs, dscores = _recompute_probs_and_dscores(
         qu, qv, k, v, p_slice, bias_ref[0, 0], g, scale=scale, bq=bq, t=t,
-        w_pad=w_pad)
+        w_pad=w_pad, dropout_rate=dropout_rate,
+        seed_ids=(seed_ref[0, 0], pl.program_id(0), pl.program_id(1), qi))
     dband = _unshear(dscores, bq=bq, t=t, w_pad=w_pad)
     dqu_ref[0, 0] = jnp.dot(dscores, k, preferred_element_type=jnp.float32)
     dqv_ref[0, 0] = jnp.dot(dband, p_slice,
@@ -173,9 +218,10 @@ def _bwd_kernel_a(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
 
 
 def _bwd_kernel_p(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
-                  dp_ref, *, scale, bq, t):
+                  seed_ref, dp_ref, *, scale, bq, t, dropout_rate):
     bb = pl.program_id(2)
     qi = pl.program_id(1)
+    hh = pl.program_id(0)
     w_pad = _round_up(t + bq - 1, 128)
     start = t - bq - qi * bq
     qu, qv = qu_ref[0, 0], qv_ref[0, 0]
@@ -183,7 +229,8 @@ def _bwd_kernel_p(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
     p_slice = p_ref[0, pl.ds(start, w_pad), :]
     _, dscores = _recompute_probs_and_dscores(
         qu, qv, k, v, p_slice, bias_ref[0, 0], g, scale=scale, bq=bq, t=t,
-        w_pad=w_pad)
+        w_pad=w_pad, dropout_rate=dropout_rate,
+        seed_ids=(seed_ref[0, 0], bb, hh, qi))
     dband = _unshear(dscores, bq=bq, t=t, w_pad=w_pad)
 
     @pl.when(bb == 0)
@@ -193,8 +240,8 @@ def _bwd_kernel_p(qu_ref, qv_ref, k_ref, v_ref, p_ref, bias_ref, g_ref,
     dp_ref[0, 0] += jnp.dot(dband.T, qv, preferred_element_type=jnp.float32)
 
 
-def _relpos_bwd(block_q, res, g):
-    q_u, q_v, k, v, p_padded, bias, scale = res
+def _relpos_bwd(block_q, dropout_rate, res, g):
+    q_u, q_v, k, v, p_padded, bias, seed, scale = res
     b, h, t, d = q_u.shape
     bq = min(block_q, t)
     while t % bq != 0:
@@ -205,7 +252,8 @@ def _relpos_bwd(block_q, res, g):
     bias_h = bias.shape[1]
     g = g.astype(jnp.float32)
 
-    kern_a = functools.partial(_bwd_kernel_a, scale=scale, bq=bq, t=t)
+    kern_a = functools.partial(_bwd_kernel_a, scale=scale, bq=bq, t=t,
+                               dropout_rate=dropout_rate)
     dqu, dqv, dk, dv = pl.pallas_call(
         kern_a,
         grid=(b, h, nq),  # qi fastest → dk/dv blocks accumulate over q
@@ -219,6 +267,7 @@ def _relpos_bwd(block_q, res, g):
             pl.BlockSpec((1, 1, bq, t),
                          lambda bb, hh, qq: (bb, hh if bias_h > 1 else 0, qq, 0)),
             pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
@@ -229,9 +278,10 @@ def _relpos_bwd(block_q, res, g):
         out_shape=[jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * 2,
         interpret=_relpos_bwd.interpret,
-    )(q_u, q_v, k, v, p_padded, bias, g)
+    )(q_u, q_v, k, v, p_padded, bias, g, seed)
 
-    kern_p = functools.partial(_bwd_kernel_p, scale=scale, bq=bq, t=t)
+    kern_p = functools.partial(_bwd_kernel_p, scale=scale, bq=bq, t=t,
+                               dropout_rate=dropout_rate)
     dp_blocks = pl.pallas_call(
         kern_p,
         grid=(h, nq, b),  # b fastest → dp blocks accumulate over batch
@@ -245,12 +295,13 @@ def _relpos_bwd(block_q, res, g):
             pl.BlockSpec((1, 1, bq, t),
                          lambda hh, qq, bb: (bb, hh if bias_h > 1 else 0, qq, 0)),
             pl.BlockSpec((1, 1, bq, d), lambda hh, qq, bb: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1), lambda hh, qq, bb: (0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, w_pad, d),
                                lambda hh, qq, bb: (hh, qq, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((h, nq, w_pad, d), jnp.float32),
         interpret=_relpos_bwd.interpret,
-    )(q_u, q_v, k, v, p_padded, bias, g)
+    )(q_u, q_v, k, v, p_padded, bias, g, seed)
 
     # scatter-add the per-q-block dP_slice windows back into the table
     dp = jnp.zeros_like(p_padded)
@@ -259,33 +310,43 @@ def _relpos_bwd(block_q, res, g):
         seg = jax.lax.dynamic_slice(dp, (0, start, 0), (h, w_pad, d))
         dp = jax.lax.dynamic_update_slice(dp, seg + dp_blocks[:, qq],
                                           (0, start, 0))
-    return dqu, dqv, dk, dv, dp, None
+    return dqu, dqv, dk, dv, dp, None, None
 
 
 _relpos_bwd.interpret = False
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def relpos_attention_trainable(q_u, q_v, k, v, p_padded, bias, scale, block_q):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def relpos_attention_trainable(q_u, q_v, k, v, p_padded, bias, seed, scale,
+                               block_q, dropout_rate=0.0):
     """Differentiable fused rel-pos attention: Pallas forward AND backward.
     p_padded must already be padded to (t - bq) + W_pad rows (see
-    relpos_attention's padding); gradients flow to q_u, q_v, k, v, p_padded."""
-    return _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, scale, block_q)
+    relpos_attention's padding); gradients flow to q_u, q_v, k, v, p_padded.
+    dropout_rate > 0 fuses attention-prob dropout into both passes (the mask
+    is regenerated in the backward from (seed [1,1] int32, block ids) — no
+    [B,H,T,T] residual). seed may be None when dropout_rate == 0."""
+    return _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, seed, scale,
+                            block_q, dropout_rate)
 
 
-def _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, scale, block_q):
+def _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, seed, scale, block_q,
+                     dropout_rate):
     return relpos_attention(q_u, q_v, k, v, p_padded, bias, scale=scale,
                             block_q=block_q,
-                            interpret=_relpos_bwd.interpret)
+                            interpret=_relpos_bwd.interpret,
+                            dropout_rate=dropout_rate, seed=seed)
 
 
-def _relpos_fwd_rule(q_u, q_v, k, v, p_padded, bias, scale, block_q):
-    out = _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, scale, block_q)
-    return out, (q_u, q_v, k, v, p_padded, bias, scale)
+def _relpos_fwd_rule(q_u, q_v, k, v, p_padded, bias, seed, scale, block_q,
+                     dropout_rate):
+    out = _relpos_fwd_impl(q_u, q_v, k, v, p_padded, bias, seed, scale,
+                           block_q, dropout_rate)
+    seed_arr = jnp.zeros((1, 1), jnp.int32) if seed is None else seed
+    return out, (q_u, q_v, k, v, p_padded, bias, seed_arr, scale)
 
 
-def _relpos_bwd_rule(scale_unused, block_q, res, g):
-    return _relpos_bwd(block_q, res, g)
+def _relpos_bwd_rule(scale_unused, block_q, dropout_rate, res, g):
+    return _relpos_bwd(block_q, dropout_rate, res, g)
 
 
 relpos_attention_trainable.defvjp(_relpos_fwd_rule, _relpos_bwd_rule)

@@ -53,3 +53,85 @@ def test_kernel_block_sizes_agree():
     b = relpos_attention(qu, qv, k, v, p, bias, scale=0.25, block_q=48,
                          interpret=True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dropout_gradients_tpu():
+    """Fused attention-prob dropout: forward is deterministic per seed, and
+    the Pallas backward regenerates EXACTLY the forward's mask — validated by
+    extracting the in-kernel mask with a probe kernel and comparing every
+    gradient against XLA autodiff of a reference that applies that same mask.
+    TPU-only — Mosaic's PRNG has no interpret lowering."""
+    import functools
+
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel dropout needs the TPU PRNG")
+    from jax.experimental import pallas as pl
+
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    qu, qv, k, v, p = make_inputs(t=256, d=16, seed=3)
+    b, h, t, d = qu.shape
+    bq, rate = 128, 0.1
+    nq = t // bq
+    bias = jnp.zeros((b, 1, t, t), jnp.float32)
+    w_pad = -(-(t + bq - 1) // 128) * 128
+    p_pad = jnp.pad(p, ((0, 0), (0, (t - bq) + w_pad - p.shape[1]), (0, 0)))
+    seed = jnp.array([[1234]], jnp.int32)
+
+    def f(qu_):
+        return pa.relpos_attention_trainable(qu_, qv, k, v, p_pad, bias, seed,
+                                             0.25, bq, rate)
+
+    o1, o2 = f(qu), f(qu)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    o3 = pa.relpos_attention_trainable(qu, qv, k, v, p_pad, bias,
+                                       jnp.array([[99]], jnp.int32), 0.25, bq,
+                                       rate)
+    assert not np.allclose(np.asarray(o1), np.asarray(o3))
+    # rate=0 equals the no-dropout kernel
+    o0 = pa.relpos_attention_trainable(qu, qv, k, v, p_pad, bias, seed, 0.25,
+                                       bq, 0.0)
+    on = pa.relpos_attention_trainable(qu, qv, k, v, p_pad, bias, None, 0.25,
+                                       bq)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(on), atol=1e-6)
+
+    # extract the kernel's realized mask with a probe kernel
+    def mask_kernel(seed_ref, o_ref):
+        keep = pa._dropout_keep(seed_ref[0, 0], pl.program_id(0),
+                                pl.program_id(1), pl.program_id(2), (bq, t),
+                                rate)
+        o_ref[0, 0] = keep.astype(jnp.float32)
+
+    mask = pl.pallas_call(
+        mask_kernel, grid=(b, h, nq),
+        in_specs=[pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0))],
+        out_specs=pl.BlockSpec((1, 1, bq, t),
+                               lambda bb, hh, qq: (bb, hh, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, t), jnp.float32),
+    )(seed)
+    assert abs(float(mask.mean()) - (1 - rate)) < 0.01
+
+    def ref_f(qu_, qv_, k_, v_, p_):
+        ac = jnp.einsum("bhsd,bhtd->bhst", qu_, k_)
+        bd_full = jnp.einsum("bhsd,hrd->bhsr", qv_, p_)
+        i = jnp.arange(t)[:, None]
+        j = jnp.arange(t)[None, :]
+        u = (t - 1) - (i - j)
+        bd = jnp.take_along_axis(bd_full, u[None, None].repeat(h, 1), axis=-1)
+        probs = jax.nn.softmax((ac + bd) * 0.25 + bias, axis=-1)
+        return jnp.einsum("bhst,bhtd->bhsd", mask * probs / (1 - rate), v_)
+
+    np.testing.assert_allclose(np.asarray(o1), np.asarray(ref_f(qu, qv, k, v,
+                                                                p)), atol=5e-4)
+    g = jnp.asarray(np.random.RandomState(0).randn(b, h, t, d), jnp.float32)
+    gp = jax.grad(
+        lambda *a: jnp.vdot(g, pa.relpos_attention_trainable(
+            *a, bias, seed, 0.25, bq, rate)),
+        argnums=(0, 1, 2, 3))(qu, qv, k, v, p_pad)
+    gr = jax.grad(lambda *a: jnp.vdot(g, ref_f(*a)),
+                  argnums=(0, 1, 2, 3))(qu, qv, k, v, p)
+    for name, a_, b_ in zip(("dqu", "dqv", "dk", "dv"), gp, gr):
+        np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=5e-4,
+                                   err_msg=name)
