@@ -51,8 +51,8 @@ def main(argv=None):
     p.add_argument("--continue-unfinished", action="store_true", default=False)
     p.add_argument("--batch", type=int, default=1,
                    help="evaluate N instances concurrently through one lockstep"
-                        " batched session (s2st only; per-instance results are"
-                        " identical to --batch 1, wall-clock is ~N× better)")
+                        " batched session (per-instance results are identical"
+                        " to --batch 1, wall-clock is ~N× better)")
     p.add_argument("--score-only", action="store_true", default=False,
                    help="re-score a previous run from output/instances.log")
     p.add_argument("--latency-metrics", nargs="*", default=None)
@@ -119,13 +119,25 @@ def main(argv=None):
         sources.append(list(np.asarray(wav, np.float32)))
     references = [ln for ln in Path(args.target).read_text().splitlines()]
 
-    if args.batch > 1 and args.agent == "s2st":
-        from streamspeech_tpu.eval.batched_evaluator import BatchedS2STEvaluator
+    if args.batch > 1:
+        from streamspeech_tpu.eval.batched_evaluator import (
+            BatchedASREvaluator,
+            BatchedS2STEvaluator,
+            BatchedS2TTEvaluator,
+        )
 
-        ev = BatchedS2STEvaluator(
-            engine, agent_cfg, src_dict, tgt_dict, unit_dict, gcmvn,
-            batch=args.batch, latency_metrics=args.latency_metrics,
-            quality_metrics=args.quality_metrics, output_dir=args.output)
+        kw = dict(batch=args.batch, latency_metrics=args.latency_metrics,
+                  quality_metrics=args.quality_metrics,
+                  output_dir=args.output)
+        if args.agent == "s2st":
+            ev = BatchedS2STEvaluator(engine, agent_cfg, src_dict, tgt_dict,
+                                      unit_dict, gcmvn, **kw)
+        elif args.agent == "s2tt":
+            ev = BatchedS2TTEvaluator(engine, agent_cfg, src_dict, tgt_dict,
+                                      gcmvn, **kw)
+        else:
+            ev = BatchedASREvaluator(engine, agent_cfg, src_dict, src_dict,
+                                     gcmvn, **kw)
     else:
         ev = SentenceLevelEvaluator(
             agent, source_segment_size=args.source_segment_size,

@@ -5,9 +5,11 @@ process, one utterance at a time (`SimulEval/simuleval/evaluator/evaluator.py`
 loop). Here the same sentence-level protocol runs B instances concurrently on
 one chip: every 320 ms tick, all live instances' segments are ingested, ONE
 batched encoder call advances every stream, the per-stream READ/WRITE policy
-decisions (identical logic to agents/streamspeech.StreamSpeechS2STAgent.policy,
-`agent/speech_to_speech.streamspeech.agent.py:422-770`) become a budget vector
-for ONE scanned MT decode, and writers share ONE fused emission call.
+decisions (identical logic to the sequential agents in agents/streamspeech.py,
+behavioral references `agent/speech_to_speech.streamspeech.agent.py:422-770`,
+`agent/speech_to_text.{s2tt,asr}.streamspeech.agent.py`) become a budget
+vector for ONE scanned MT decode, and (S2ST) writers share ONE fused emission
+call.
 
 Numerics per instance are identical to the sequential evaluator
 (tests/test_batched_eval.py compares predictions + delays instance by
@@ -27,8 +29,12 @@ from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
-from streamspeech_tpu.agents.base import SpeechSegment
-from streamspeech_tpu.agents.streamspeech import SAMPLE_RATE, StreamSpeechAgentConfig
+from streamspeech_tpu.agents.base import SpeechSegment, TextSegment
+from streamspeech_tpu.agents.streamspeech import (
+    SAMPLE_RATE,
+    StreamSpeechAgentConfig,
+    spm_text,
+)
 from streamspeech_tpu.dictionary import Dictionary
 from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator
 from streamspeech_tpu.eval.instance import Instance
@@ -47,13 +53,17 @@ class _StreamState:
         self.src_ctc_prefix_length = 0
         self.tgt_ctc_prefix_length = 0
         self.units: List[int] = []
+        self.emitted_text = ""
         self.pushed_finished = False
         self.done = False
         self.turns = 0
 
 
-class BatchedS2STEvaluator(SentenceLevelEvaluator):
-    """Drop-in SentenceLevelEvaluator with wave-batched device work (S2ST)."""
+class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
+    """Shared wave scheduling + lockstep push phase; subclasses implement the
+    per-tick policy/write phase for their output modality."""
+
+    target_type = "speech"
 
     def __init__(
         self,
@@ -61,12 +71,11 @@ class BatchedS2STEvaluator(SentenceLevelEvaluator):
         agent_cfg: StreamSpeechAgentConfig,
         src_dict: Dictionary,
         tgt_dict: Dictionary,
-        unit_dict: Dictionary,
         gcmvn: Optional[GlobalCMVN] = None,
         batch: int = 8,
         **evaluator_kwargs,
     ):
-        shim = SimpleNamespace(target_type="speech")
+        shim = SimpleNamespace(target_type=self.target_type)
         super().__init__(shim,
                          source_segment_size=agent_cfg.source_segment_size,
                          **evaluator_kwargs)
@@ -74,7 +83,6 @@ class BatchedS2STEvaluator(SentenceLevelEvaluator):
         self.agent_cfg = agent_cfg
         self.src_dict = src_dict
         self.tgt_dict = tgt_dict
-        self.unit_dict = unit_dict
         self.gcmvn = gcmvn
         self.batch = batch
 
@@ -133,89 +141,112 @@ class BatchedS2STEvaluator(SentenceLevelEvaluator):
                     st[i].pushed_finished = seg.finished
                 st[i].turns += 1
             bs.encode_ready_blocks(cfg.chunk_size, cfg.conv_chunk_size)
+            self._tick(bs, st, instances, live)
 
-            # ---- policy phase: per-stream READ/WRITE decisions -> budgets ----
-            # (line-for-line the sequential agent's policy,
-            #  agents/streamspeech.py:131-201)
-            budgets = np.zeros((b,), np.int64)
-            wants = {}   # stream -> (finished, new_subword_tokens, prev_tokens)
-            for i in live:
-                finished = instances[i].source_finished_reading
-                if int(bs.enc_len[i]) == 0:
+    def _tick(self, bs, st, instances, live) -> None:
+        raise NotImplementedError
+
+    # READ/WRITE gate shared by the S2ST and S2TT policies
+    # (agents/streamspeech.py:143-160 / :233-247)
+    def _decode_budget(self, bs, st_i, i, finished, whole_word: bool):
+        """Returns new_subword_tokens (None = READ this tick)."""
+        cfg = self.agent_cfg
+        hyps = bs.ctc_hypotheses(i)
+        asr_tokens, _ = hyps["asr"]
+        stt_tokens, _ = hyps["st"]
+        if finished:
+            return -1
+        if (len(asr_tokens) < st_i.src_ctc_prefix_length + cfg.stride_n or
+                len(stt_tokens) < st_i.tgt_ctc_prefix_length + cfg.stride_n):
+            return None
+        st_i.src_ctc_prefix_length = max(len(asr_tokens),
+                                         st_i.src_ctc_prefix_length)
+        st_i.tgt_ctc_prefix_length = max(len(stt_tokens),
+                                         st_i.tgt_ctc_prefix_length)
+        subword_tokens = ((len(stt_tokens) - cfg.lagging_k1)
+                          // cfg.stride_n) * cfg.stride_n
+        if whole_word:
+            subword_tokens += 1
+        new_subword_tokens = subword_tokens - len(bs.mt_tokens[i])
+        return new_subword_tokens if new_subword_tokens >= 1 else None
+
+
+class BatchedS2STEvaluator(_BatchedStreamingEvaluator):
+    """Drop-in SentenceLevelEvaluator with wave-batched device work (S2ST)."""
+
+    target_type = "speech"
+
+    def __init__(self, engine, agent_cfg, src_dict, tgt_dict, unit_dict,
+                 gcmvn=None, batch: int = 8, **evaluator_kwargs):
+        super().__init__(engine, agent_cfg, src_dict, tgt_dict, gcmvn, batch,
+                         **evaluator_kwargs)
+        self.unit_dict = unit_dict
+
+    def _tick(self, bs, st, instances, live) -> None:
+        cfg = self.agent_cfg
+        b = bs.batch
+        # ---- policy phase: per-stream READ/WRITE decisions -> budgets ----
+        # (line-for-line the sequential agent's policy,
+        #  agents/streamspeech.py:131-201)
+        budgets = np.zeros((b,), np.int64)
+        wants = {}   # stream -> (finished, new_subword_tokens, prev_tokens)
+        for i in live:
+            finished = instances[i].source_finished_reading
+            if int(bs.enc_len[i]) == 0:
+                if finished:
+                    self._write(instances[i], st[i], np.zeros((0,)),
+                                finished=True, target_finished=True)
+                continue
+            new_sub = self._decode_budget(bs, st[i], i, finished,
+                                          cfg.whole_word)
+            if new_sub is None:
+                continue  # READ
+            budgets[i] = new_sub
+            wants[i] = (finished, new_sub, list(bs.mt_tokens[i]))
+
+        if wants:
+            bs.mt_decode(budgets, max_len=cfg.max_len)
+
+        # ---- whole-word truncation + write-eligibility ----
+        writers = []
+        for i, (finished, new_sub, prev_tokens) in wants.items():
+            if cfg.whole_word and not finished:
+                toks = bs.mt_tokens[i]
+                j = 0
+                for j in range(len(toks) - 1, -1, -1):
+                    if self.tgt_dict[toks[j]].startswith("▁"):
+                        break
+                bs.mt_truncate(i, j)
+                if j == 0:
+                    continue  # READ
+            if bs.mt_tokens[i] == prev_tokens or (
+                    not finished and
+                    len(bs.mt_tokens[i]) <= len(prev_tokens)):
+                if finished:
+                    self._write(instances[i], st[i], np.zeros((0,)),
+                                finished=True, target_finished=True)
+                continue
+            writers.append(i)
+
+        # ---- emission phase: ONE fused batched call for all writers ----
+        if writers:
+            outs = bs.emit()
+            for i in writers:
+                finished, new_sub, _ = wants[i]
+                units, wav, dur = outs[i]
+                cur_units = units[len(st[i].units):]
+                if len(units) == 0 or len(cur_units) < 1:
                     if finished:
                         self._write(instances[i], st[i], np.zeros((0,)),
                                     finished=True, target_finished=True)
                     continue
-                hyps = bs.ctc_hypotheses(i)
-                asr_tokens, _ = hyps["asr"]
-                stt_tokens, _ = hyps["st"]
-                if not finished:
-                    if (len(asr_tokens) < st[i].src_ctc_prefix_length
-                            + cfg.stride_n or
-                            len(stt_tokens) < st[i].tgt_ctc_prefix_length
-                            + cfg.stride_n):
-                        continue  # READ
-                    st[i].src_ctc_prefix_length = max(
-                        len(asr_tokens), st[i].src_ctc_prefix_length)
-                    st[i].tgt_ctc_prefix_length = max(
-                        len(stt_tokens), st[i].tgt_ctc_prefix_length)
-                    subword_tokens = ((len(stt_tokens) - cfg.lagging_k1)
-                                      // cfg.stride_n) * cfg.stride_n
-                    if cfg.whole_word:
-                        subword_tokens += 1
-                    new_subword_tokens = subword_tokens - len(bs.mt_tokens[i])
-                    if new_subword_tokens < 1:
-                        continue  # READ
-                else:
-                    new_subword_tokens = -1
-                budgets[i] = new_subword_tokens
-                wants[i] = (finished, new_subword_tokens,
-                            list(bs.mt_tokens[i]))
-
-            if wants:
-                bs.mt_decode(budgets, max_len=cfg.max_len)
-
-            # ---- whole-word truncation + write-eligibility ----
-            writers = []
-            for i, (finished, new_sub, prev_tokens) in wants.items():
-                if cfg.whole_word and not finished:
-                    toks = bs.mt_tokens[i]
-                    j = 0
-                    for j in range(len(toks) - 1, -1, -1):
-                        if self.tgt_dict[toks[j]].startswith("▁"):
-                            break
-                    bs.mt_truncate(i, j)
-                    if j == 0:
-                        continue  # READ
-                if bs.mt_tokens[i] == prev_tokens or (
-                        not finished and
-                        len(bs.mt_tokens[i]) <= len(prev_tokens)):
-                    if finished:
-                        self._write(instances[i], st[i], np.zeros((0,)),
-                                    finished=True, target_finished=True)
-                    continue
-                writers.append(i)
-
-            # ---- emission phase: ONE fused batched call for all writers ----
-            if writers:
-                outs = bs.emit()
-                for i in writers:
-                    finished, new_sub, _ = wants[i]
-                    units, wav, dur = outs[i]
-                    cur_units = units[len(st[i].units):]
-                    if len(units) == 0 or len(cur_units) < 1:
-                        if finished:
-                            self._write(instances[i], st[i], np.zeros((0,)),
-                                        finished=True, target_finished=True)
-                        continue
-                    cur_wav_len = int(dur[-len(cur_units):].sum()) * 320
-                    new_wav = wav[len(wav) - cur_wav_len:] if cur_wav_len > 0 \
-                        else wav[:0]
-                    st[i].units = units
-                    target_finished = finished and new_sub == -1
-                    self._write(instances[i], st[i], new_wav,
-                                finished=finished,
-                                target_finished=target_finished)
+                cur_wav_len = int(dur[-len(cur_units):].sum()) * 320
+                new_wav = wav[len(wav) - cur_wav_len:] if cur_wav_len > 0 \
+                    else wav[:0]
+                st[i].units = units
+                target_finished = finished and new_sub == -1
+                self._write(instances[i], st[i], new_wav, finished=finished,
+                            target_finished=target_finished)
 
     def _write(self, instance: Instance, state: _StreamState,
                wav: np.ndarray, finished: bool, target_finished: bool) -> None:
@@ -224,3 +255,70 @@ class BatchedS2STEvaluator(SentenceLevelEvaluator):
             finished=finished))
         if target_finished or instance.finish_prediction:
             state.done = True
+
+
+class BatchedS2TTEvaluator(_BatchedStreamingEvaluator):
+    """Wave-batched simultaneous speech-to-text translation
+    (sequential policy: agents/streamspeech.py:219-263)."""
+
+    target_type = "text"
+
+    def _tick(self, bs, st, instances, live) -> None:
+        cfg = self.agent_cfg
+        b = bs.batch
+        budgets = np.zeros((b,), np.int64)
+        wants = {}
+        for i in live:
+            finished = instances[i].source_finished_reading
+            if int(bs.enc_len[i]) == 0:
+                if finished:
+                    self._write_text(instances[i], st[i], "", True)
+                continue
+            new_sub = self._decode_budget(bs, st[i], i, finished,
+                                          whole_word=False)
+            if new_sub is None:
+                continue
+            budgets[i] = new_sub
+            wants[i] = (finished, list(bs.mt_tokens[i]))
+        if wants:
+            bs.mt_decode(budgets, max_len=cfg.max_len)
+        for i, (finished, prev) in wants.items():
+            if bs.mt_tokens[i] == prev and not finished:
+                continue  # READ
+            full_text = spm_text(self.tgt_dict, bs.mt_tokens[i])
+            new_text = full_text[len(st[i].emitted_text):].strip() \
+                if full_text.startswith(st[i].emitted_text) else full_text
+            st[i].emitted_text = full_text
+            if not new_text and not finished:
+                continue
+            self._write_text(instances[i], st[i], new_text, finished)
+
+    def _write_text(self, instance, state, text: str, finished: bool) -> None:
+        instance.receive_prediction(TextSegment(content=text,
+                                                finished=finished))
+        if finished or instance.finish_prediction:
+            state.done = True
+
+
+class BatchedASREvaluator(_BatchedStreamingEvaluator):
+    """Wave-batched streaming ASR (sequential policy:
+    agents/streamspeech.py:281-294 — emit the ASR-CTC text diff each chunk).
+    Only the batched encoder runs on device; no MT decode or vocoder."""
+
+    target_type = "text"
+
+    def _tick(self, bs, st, instances, live) -> None:
+        for i in live:
+            finished = instances[i].source_finished_reading
+            asr_tokens, _ = bs.ctc_hypotheses(i)["asr"]
+            full_text = spm_text(self.src_dict, asr_tokens)
+            new_text = full_text[len(st[i].emitted_text):].strip() \
+                if full_text.startswith(st[i].emitted_text) else full_text
+            if not new_text and not finished:
+                continue
+            st[i].emitted_text = full_text
+            instance = instances[i]
+            instance.receive_prediction(TextSegment(content=new_text,
+                                                    finished=finished))
+            if finished or instance.finish_prediction:
+                st[i].done = True

@@ -127,3 +127,43 @@ def test_batched_evaluator_resume(stack, tmp_path):
     lines = (Path(out) / "instances.log").read_text().splitlines()
     idx = [json.loads(l)["index"] for l in lines]
     assert sorted(idx) == [0, 1, 2, 3] and len(idx) == 4
+
+
+def test_batched_s2tt_and_asr_match_sequential(stack, tmp_path):
+    from streamspeech_tpu.agents.streamspeech import (
+        StreamSpeechASRAgent,
+        StreamSpeechS2TTAgent,
+    )
+    from streamspeech_tpu.eval.batched_evaluator import (
+        BatchedASREvaluator,
+        BatchedS2TTEvaluator,
+    )
+
+    cfg, engine, src_dict, unit_dict = stack
+    agent_cfg = StreamSpeechAgentConfig(source_segment_size=320)
+    rng = np.random.RandomState(9)
+    sources = [list(rng.uniform(-0.3, 0.3, n))
+               for n in (9600, 17000, 12800, 7000)]
+    refs = ["dummy"] * len(sources)
+
+    for name, agent, bat in (
+        ("s2tt",
+         StreamSpeechS2TTAgent(engine, agent_cfg, src_dict, src_dict),
+         BatchedS2TTEvaluator(engine, agent_cfg, src_dict, src_dict, batch=3,
+                              quality_metrics=[])),
+        ("asr",
+         StreamSpeechASRAgent(engine, agent_cfg, src_dict),
+         BatchedASREvaluator(engine, agent_cfg, src_dict, src_dict, batch=3,
+                             quality_metrics=[])),
+    ):
+        seq = SentenceLevelEvaluator(agent, source_segment_size=320,
+                                     quality_metrics=[])
+        seq(sources, refs)
+        bat(sources, refs)
+        wrote = 0
+        for i in seq.instances:
+            a, b = seq.instances[i].summarize(), bat.instances[i].summarize()
+            assert a["prediction"] == b["prediction"], f"{name} instance {i}"
+            assert a["delays"] == b["delays"], f"{name} instance {i}"
+            wrote += len(a["delays"])
+        assert wrote > 0, f"{name}: no instance wrote — comparison vacuous"
