@@ -96,16 +96,16 @@ def make_self_asr_fn(engine, src_dict, segment_size_ms: int = 640):
 
 @QUALITY_SCORERS.register("WER")
 class WERScorer:
-    """Word error rate (used by the streaming-ASR evaluation, BASELINE.md)."""
+    """Word error rate (used by the streaming-ASR evaluation, BASELINE.md).
+    Uses the native batched edit-distance kernel (native/edit_dist.cpp, the
+    fairseq.libnat equivalent) when available, pure python otherwise."""
 
     def __call__(self, instances) -> float:
-        num, den = 0, 0
-        for ins in instances.values():
-            ref = (ins.reference or "").split()
-            hyp = str(ins.prediction).split()
-            num += _edit_distance(ref, hyp)
-            den += len(ref)
-        return 100.0 * num / max(den, 1)
+        pairs = [((ins.reference or "").split(), str(ins.prediction).split())
+                 for ins in instances.values()]
+        den = sum(len(r) for r, _ in pairs) or 1
+        dists = batched_edit_distance(pairs)
+        return 100.0 * sum(dists) / den
 
 
 def _edit_distance(a: List[str], b: List[str]) -> int:
@@ -119,3 +119,67 @@ def _edit_distance(a: List[str], b: List[str]) -> int:
                         prev + (a[i - 1] != b[j - 1]))
             prev = cur
     return dp[-1]
+
+
+_EDIT_LIB = None
+_EDIT_FAILED = False
+
+
+def _load_edit_lib():
+    """Compile/load the libnat-equivalent batched edit-distance C++ kernel
+    (`native/edit_dist.cpp`; fairseq reference: `clib/libnat/edit_dist.cpp`)."""
+    global _EDIT_LIB, _EDIT_FAILED
+    if _EDIT_LIB is not None or _EDIT_FAILED:
+        return _EDIT_LIB
+    import ctypes
+    import subprocess
+    from pathlib import Path
+
+    d = Path(__file__).resolve().parents[2] / "native"
+    so, src = d / "libeditdist.so", d / "edit_dist.cpp"
+    try:
+        if not so.exists() or so.stat().st_mtime < src.stat().st_mtime:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", "-o", str(so),
+                            str(src)], check=True, capture_output=True)
+        lib = ctypes.CDLL(str(so))
+        p = ctypes.POINTER(ctypes.c_int64)
+        lib.edit_distances.argtypes = [p, p, p, p, ctypes.c_int64, p]
+        _EDIT_LIB = lib
+    except Exception:
+        _EDIT_FAILED = True
+    return _EDIT_LIB
+
+
+def batched_edit_distance(pairs) -> List[int]:
+    """pairs: list of (ref_tokens, hyp_tokens). Returns Levenshtein distances,
+    via the native kernel when it builds (token strings are interned to int64
+    ids first — distance only needs equality)."""
+    lib = _load_edit_lib()
+    if lib is None:
+        return [_edit_distance(a, b) for a, b in pairs]
+    import ctypes
+
+    import numpy as np
+
+    vocab: dict = {}
+
+    def ids(toks):
+        return [vocab.setdefault(t, len(vocab)) for t in toks]
+
+    a_flat, b_flat, a_lens, b_lens = [], [], [], []
+    for a, b in pairs:
+        ai, bi = ids(a), ids(b)
+        a_flat += ai
+        b_flat += bi
+        a_lens.append(len(ai))
+        b_lens.append(len(bi))
+    af = np.asarray(a_flat or [0], np.int64)
+    bf = np.asarray(b_flat or [0], np.int64)
+    al = np.asarray(a_lens, np.int64)
+    bl = np.asarray(b_lens, np.int64)
+    out = np.zeros(len(pairs), np.int64)
+    p = ctypes.POINTER(ctypes.c_int64)
+    lib.edit_distances(af.ctypes.data_as(p), al.ctypes.data_as(p),
+                       bf.ctypes.data_as(p), bl.ctypes.data_as(p),
+                       len(pairs), out.ctypes.data_as(p))
+    return out.tolist()

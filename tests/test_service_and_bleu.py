@@ -44,3 +44,26 @@ def test_remote_agent_service():
         assert scores["BLEU"] > 99.0
     finally:
         service.stop()
+
+
+def test_native_edit_distance_matches_python():
+    import numpy as np
+
+    from streamspeech_tpu.eval.quality import (
+        _edit_distance,
+        _load_edit_lib,
+        batched_edit_distance,
+    )
+
+    rng = np.random.RandomState(0)
+    pairs = []
+    for _ in range(30):
+        a = [f"w{int(x)}" for x in rng.randint(0, 12, rng.randint(0, 25))]
+        b = [f"w{int(x)}" for x in rng.randint(0, 12, rng.randint(0, 25))]
+        pairs.append((a, b))
+    pairs.append(([], []))
+    pairs.append((["x"], []))
+    got = batched_edit_distance(pairs)
+    ref = [_edit_distance(a, b) for a, b in pairs]
+    assert got == ref
+    assert _load_edit_lib() is not None, "native kernel failed to build"
