@@ -61,6 +61,45 @@ class ASRBLEUScorer:
         return sacrebleu.corpus_bleu(hyps, refs, tokenize=self.tokenizer).score
 
 
+@QUALITY_SCORERS.register("WHISPER_ASR_BLEU")
+class WhisperASRBLEUScorer(ASRBLEUScorer):
+    """ASR-BLEU with a local Whisper transcriber (`quality_scorer.py:209`).
+    No network egress here, so the Whisper weights must already be on disk
+    (``model_path``: a transformers WhisperForConditionalGeneration directory);
+    alternatively pass a prebuilt ``asr_fn``."""
+
+    def __init__(self, asr_fn: Optional[Callable] = None,
+                 model_path: Optional[str] = None, tokenizer: str = "13a",
+                 language: str = "en"):
+        if asr_fn is None and model_path is not None:
+            asr_fn = make_whisper_asr_fn(model_path, language)
+        super().__init__(asr_fn, tokenizer)
+
+
+def make_whisper_asr_fn(model_path: str, language: str = "en") -> Callable:
+    """Whisper transcription via the baked-in transformers (torch CPU) from a
+    LOCAL checkpoint directory — the reference's whisper scorer downloads from
+    the hub (`quality_scorer.py:209`); here the weights must be pre-fetched."""
+    import torch
+    from transformers import WhisperForConditionalGeneration, WhisperProcessor
+
+    processor = WhisperProcessor.from_pretrained(model_path)
+    model = WhisperForConditionalGeneration.from_pretrained(model_path)
+    model.eval()
+
+    def asr_fn(wav, sample_rate=16000) -> str:
+        import numpy as np
+
+        feats = processor(np.asarray(wav, np.float32),
+                          sampling_rate=sample_rate,
+                          return_tensors="pt").input_features
+        with torch.no_grad():
+            ids = model.generate(feats, language=language, task="transcribe")
+        return processor.batch_decode(ids, skip_special_tokens=True)[0].strip()
+
+    return asr_fn
+
+
 def make_self_asr_fn(engine, src_dict, segment_size_ms: int = 640):
     """Build an ASR backend for ASRBLEUScorer from this framework's OWN
     streaming-ASR agent (self-transcription). The reference downloads external
