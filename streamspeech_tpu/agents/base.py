@@ -31,7 +31,7 @@ class Segment:
             "index": self.index, "content": self.content,
             "sample_rate": self.sample_rate, "finished": self.finished,
             "is_empty": self.is_empty, "data_type": self.data_type,
-        })
+        }, default=float)  # numpy scalars in speech content serialize as floats
 
     @classmethod
     def from_json(cls, s: str) -> "Segment":

@@ -57,6 +57,14 @@ def main(argv=None):
                    help="re-score a previous run from output/instances.log")
     p.add_argument("--latency-metrics", nargs="*", default=None)
     p.add_argument("--quality-metrics", nargs="*", default=None)
+    p.add_argument("--standalone", action="store_true", default=False,
+                   help="serve the agent over HTTP (PUT /input, GET /output, "
+                        "POST /reset) instead of evaluating")
+    p.add_argument("--remote-eval", action="store_true", default=False,
+                   help="evaluate a REMOTE agent (no local model); pair with "
+                        "--remote-address of a --standalone server")
+    p.add_argument("--remote-address", type=str, default="http://127.0.0.1:7861")
+    p.add_argument("--remote-port", type=int, default=7861)
     args = p.parse_args(argv)
 
     if args.score_only:
@@ -72,6 +80,34 @@ def main(argv=None):
                 latency_metrics=args.latency_metrics,
                 quality_metrics=args.quality_metrics or [])
         for k, v in ev.score_only().items():
+            print(f"{k}\t{v:.3f}" if v == v else f"{k}\tnan")
+        return
+
+    def load_corpus():
+        from streamspeech_tpu.data.dataset import load_audio_or_features
+
+        src_root = Path(args.source).parent
+        srcs = []
+        for line in Path(args.source).read_text().splitlines():
+            if not line.strip():
+                continue
+            wav = load_audio_or_features(line.strip(), src_root)
+            srcs.append(list(np.asarray(wav, np.float32)))
+        return srcs, list(Path(args.target).read_text().splitlines())
+
+    if args.remote_eval:
+        # evaluate an agent served elsewhere (`--standalone`) — no local model
+        from streamspeech_tpu.eval.service import RemoteAgent
+
+        tt = "speech" if args.agent == "s2st" else "text"
+        agent = RemoteAgent(args.remote_address, target_type=tt)
+        sources, references = load_corpus()
+        ev = SentenceLevelEvaluator(
+            agent, source_segment_size=args.source_segment_size,
+            latency_metrics=args.latency_metrics,
+            quality_metrics=args.quality_metrics, output_dir=args.output)
+        for k, v in ev(sources, references,
+                       continue_unfinished=args.continue_unfinished).items():
             print(f"{k}\t{v:.3f}" if v == v else f"{k}\tnan")
         return
 
@@ -108,16 +144,17 @@ def main(argv=None):
     else:
         agent = StreamSpeechASRAgent(engine, agent_cfg, src_dict, gcmvn)
 
-    from streamspeech_tpu.data.dataset import load_audio_or_features
+    if args.standalone:
+        # agent-as-a-service (`simuleval --standalone`): serve this agent over
+        # HTTP for a `--remote-eval` client; blocks until killed.
+        from streamspeech_tpu.eval.service import AgentService
 
-    src_root = Path(args.source).parent
-    sources = []
-    for line in Path(args.source).read_text().splitlines():
-        if not line.strip():
-            continue
-        wav = load_audio_or_features(line.strip(), src_root)
-        sources.append(list(np.asarray(wav, np.float32)))
-    references = [ln for ln in Path(args.target).read_text().splitlines()]
+        print(f"serving {args.agent} agent on port {args.remote_port}",
+              flush=True)
+        AgentService(agent, port=args.remote_port).start(background=False)
+        return
+
+    sources, references = load_corpus()
 
     if args.batch > 1:
         from streamspeech_tpu.eval.batched_evaluator import (
