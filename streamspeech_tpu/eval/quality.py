@@ -30,15 +30,40 @@ class SacreBLEUScorer:
                                      tokenize=self.tokenizer).score
 
 
+def remove_simuleval_silence(wav):
+    """Strip the zero runs SimulEval stitching inserts at delay gaps before
+    transcription — the reference's rm_silence ASR-BLEU variant
+    (`asr_bleu_rm_silence/utils.py:232-243`), reproduced exactly: a zero sample
+    is dropped iff it starts or ends a run of ≥10 consecutive zeros (torch.roll
+    wrap-around semantics included). Simultaneous output is scored this way in
+    the paper; without it discontinuous output reads artificially low."""
+    import numpy as np
+
+    w = np.asarray(wav)
+    if w.size == 0:
+        return w
+    z = w == 0
+    left = z.copy()
+    right = z.copy()
+    for i in range(10):
+        left &= np.roll(w, -i) == 0
+        right &= np.roll(w, i) == 0
+    mask = z & (left | right)
+    return w[~mask]
+
+
 @QUALITY_SCORERS.register("ASR_BLEU")
 class ASRBLEUScorer:
     """Transcribe emitted wavs with a pluggable ASR backend, then corpus BLEU
-    (`quality_scorer.py:128-179`)."""
+    (`quality_scorer.py:128-179`). remove_silence=True (default) applies the
+    reference's rm_silence preprocessing — the variant actually used to score
+    simultaneous (discontinuous) speech output."""
 
     def __init__(self, asr_fn: Optional[Callable] = None,
-                 tokenizer: str = "13a"):
+                 tokenizer: str = "13a", remove_silence: bool = True):
         self.asr_fn = asr_fn
         self.tokenizer = tokenizer
+        self.remove_silence = remove_silence
 
     def transcripts(self, instances) -> List[str]:
         out = []
@@ -47,6 +72,8 @@ class ASRBLEUScorer:
             if wav is None or self.asr_fn is None:
                 out.append("")
             else:
+                if self.remove_silence:
+                    wav = remove_simuleval_silence(wav)
                 out.append(self.asr_fn(wav, getattr(ins, "target_sample_rate",
                                                     16000)))
         return out

@@ -33,6 +33,7 @@ from streamspeech_tpu.config import EncoderConfig
 from streamspeech_tpu.ops.masks import chunk_allowed, lengths_to_mask
 from streamspeech_tpu.ops.pos_encoding import rel_pos_encoding
 from streamspeech_tpu.models.layers import (
+    LayerNorm,
     ChunkCausalConv,
     ConvolutionModule,
     FeedForward,
@@ -134,7 +135,7 @@ class ConformerLayer(nn.Module):
         c = self.cfg
         self.ffn1 = FeedForward(c.embed_dim, c.ffn_embed_dim, c.dropout,
                                 dtype=self.dtype, name="ffn1")
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.self_attn_layer_norm = LayerNorm(dtype=self.dtype,
                                                  name="self_attn_layer_norm")
         self.self_attn_dropout = nn.Dropout(c.dropout)
         if c.pos_enc_type == "rel_pos":
@@ -150,7 +151,7 @@ class ConformerLayer(nn.Module):
             name="conv_module")
         self.ffn2 = FeedForward(c.embed_dim, c.ffn_embed_dim, c.dropout,
                                 dtype=self.dtype, name="ffn2")
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.final_layer_norm = LayerNorm(dtype=self.dtype,
                                              name="final_layer_norm")
 
     def _attend(self, x, pos_emb, allowed, key_valid, cache, q_offset,

@@ -26,6 +26,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+
+from streamspeech_tpu.models.layers import LayerNorm
 import jax
 import jax.numpy as jnp
 
@@ -68,7 +70,7 @@ class HMTDecoder(nn.Module):
                                     name=f"layers_{i}")
             for i in range(c.layers)
         ]
-        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.layer_norm = LayerNorm(dtype=self.dtype, name="layer_norm")
         self.transition_proj = nn.Dense(2, use_bias=False, dtype=self.dtype,
                                         name="transition_proj")
         self.dropout_module = nn.Dropout(c.dropout)

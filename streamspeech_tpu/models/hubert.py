@@ -22,7 +22,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from streamspeech_tpu.models.layers import MultiHeadAttention
+from streamspeech_tpu.models.layers import LayerNorm, MultiHeadAttention
 from streamspeech_tpu.ops.conv1d import conv1d
 
 # wav2vec2/HuBERT Base conv feature extractor spec: (dim, kernel, stride)
@@ -63,11 +63,11 @@ class HubertEncoderLayer(nn.Module):
     def setup(self):
         self.self_attn = MultiHeadAttention(self.embed_dim, self.heads,
                                             dtype=self.dtype, name="self_attn")
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.self_attn_layer_norm = LayerNorm(dtype=self.dtype,
                                                  name="self_attn_layer_norm")
         self.fc1 = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")
         self.fc2 = nn.Dense(self.embed_dim, dtype=self.dtype, name="fc2")
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.final_layer_norm = LayerNorm(dtype=self.dtype,
                                              name="final_layer_norm")
 
     def __call__(self, x, key_valid=None):
@@ -91,7 +91,7 @@ class HubertModel(nn.Module):
     def setup(self):
         self.feature_extractor = HubertFeatureExtractor(dtype=self.dtype,
                                                         name="feature_extractor")
-        self.layer_norm_extract = nn.LayerNorm(dtype=self.dtype,
+        self.layer_norm_extract = LayerNorm(dtype=self.dtype,
                                                name="layer_norm_extract")
         self.post_extract_proj = nn.Dense(self.embed_dim, dtype=self.dtype,
                                           name="post_extract_proj")
@@ -101,7 +101,7 @@ class HubertModel(nn.Module):
              self.embed_dim))
         self.pos_conv_b = self.param("pos_conv_b", nn.initializers.zeros,
                                      (self.embed_dim,))
-        self.encoder_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.encoder_layer_norm = LayerNorm(dtype=self.dtype,
                                                name="encoder_layer_norm")
         self.layers = [HubertEncoderLayer(self.embed_dim, self.ffn_dim,
                                           self.heads, dtype=self.dtype,

@@ -22,11 +22,17 @@ Reference behaviours implemented here:
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Any, Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+# torch.nn.LayerNorm parity: flax defaults to eps=1e-6, torch (and the
+# reference fairseq stack) to 1e-5. All reference-parity modules use this.
+LayerNorm = functools.partial(nn.LayerNorm, epsilon=1e-5)
+
 
 NEG_INF = -1e9  # large-negative instead of -inf: avoids NaN rows for fully-masked
 # queries (padding targets), matching torch softmax(-inf row) → NaN avoided by the
@@ -365,7 +371,7 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         act = jax.nn.silu if self.activation == "swish" else jax.nn.relu
-        x = nn.LayerNorm(name="layer_norm", dtype=self.dtype)(x)
+        x = LayerNorm(name="layer_norm", dtype=self.dtype)(x)
         x = nn.Dense(self.ffn_dim, dtype=self.dtype, name="w_1")(x)
         x = act(x)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
@@ -525,7 +531,7 @@ class ConvolutionModule(nn.Module):
 
     def setup(self):
         c = self.embed_dim
-        self.layer_norm = nn.LayerNorm(name="layer_norm", dtype=self.dtype)
+        self.layer_norm = LayerNorm(name="layer_norm", dtype=self.dtype)
         self.pointwise_conv1 = nn.Dense(2 * c, use_bias=False, dtype=self.dtype,
                                         name="pointwise_conv1")
         self.depthwise_conv = ChunkCausalConv(

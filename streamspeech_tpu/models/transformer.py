@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from streamspeech_tpu.config import DecoderConfig, UnitDecoderConfig
 from streamspeech_tpu.ops.masks import causal_allowed, waitk_allowed
 from streamspeech_tpu.ops.pos_encoding import sinusoidal_embedding
-from streamspeech_tpu.models.layers import KVCache, MultiHeadAttention
+from streamspeech_tpu.models.layers import LayerNorm, KVCache, MultiHeadAttention
 
 PAD = 1  # fairseq padding index
 
@@ -129,11 +129,11 @@ class TransformerEncoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
                                             self.dropout, dtype=self.dtype,
                                             name="self_attn")
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.self_attn_layer_norm = LayerNorm(dtype=self.dtype,
                                                  name="self_attn_layer_norm")
         self.ffn = TransformerFFN(self.ffn_dim, self.embed_dim, self.dropout,
                                   self.dropout, dtype=self.dtype, name="ffn")
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.final_layer_norm = LayerNorm(dtype=self.dtype,
                                              name="final_layer_norm")
         self.dropout_module = nn.Dropout(self.dropout)
 
@@ -175,7 +175,7 @@ class UniTransformerEncoder(nn.Module):
                                     dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
-        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.layer_norm = LayerNorm(dtype=self.dtype, name="layer_norm")
 
     def __call__(self, x, key_valid=None, deterministic=True):
         t = x.shape[1]
@@ -223,7 +223,7 @@ class UniTransformerEncoderWithEmb(nn.Module):
                                     dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
-        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.layer_norm = LayerNorm(dtype=self.dtype, name="layer_norm")
         self.dropout_module = nn.Dropout(self.dropout)
 
     def __call__(self, tokens, deterministic=True):
@@ -255,17 +255,17 @@ class TransformerDecoderLayer(nn.Module):
         self.self_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
                                             self.attention_dropout, dtype=self.dtype,
                                             name="self_attn")
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.self_attn_layer_norm = LayerNorm(dtype=self.dtype,
                                                  name="self_attn_layer_norm")
         self.encoder_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
                                                self.attention_dropout,
                                                dtype=self.dtype, name="encoder_attn")
-        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.encoder_attn_layer_norm = LayerNorm(dtype=self.dtype,
                                                     name="encoder_attn_layer_norm")
         self.ffn = TransformerFFN(self.ffn_dim, self.embed_dim, self.dropout,
                                   self.activation_dropout, dtype=self.dtype,
                                   name="ffn")
-        self.final_layer_norm = nn.LayerNorm(dtype=self.dtype,
+        self.final_layer_norm = LayerNorm(dtype=self.dtype,
                                              name="final_layer_norm")
         self.dropout_module = nn.Dropout(self.dropout)
 
@@ -332,7 +332,7 @@ class TransformerDecoder(nn.Module):
                 name=f"layers_{i}")
             for i in range(c.layers)
         ]
-        self.final_layer_norm = (nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.final_layer_norm = (LayerNorm(dtype=self.dtype, name="layer_norm")
                                  if c.normalize_before else None)
         self.dropout_module = nn.Dropout(c.dropout)
 
@@ -432,7 +432,7 @@ class CTCTransformerUnitDecoder(nn.Module):
                 normalize_before=True, dtype=self.dtype, name=f"layers_{i}")
             for i in range(c.layers)
         ]
-        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.layer_norm = LayerNorm(dtype=self.dtype, name="layer_norm")
         self.dropout_module = nn.Dropout(c.dropout)
         # stacked-units output (`ctc_transformer_unit_decoder.py:40-49,95-106`)
         self.out_proj_n_frames = (
@@ -546,7 +546,7 @@ class CTCHeadWithEncoder(nn.Module):
                                     name=f"layers_{i}")
             for i in range(self.num_layers)
         ]
-        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.layer_norm = LayerNorm(dtype=self.dtype, name="layer_norm")
         self.proj = nn.Dense(self.vocab_size, dtype=self.dtype, name="proj")
 
     def __call__(self, x, key_valid=None, deterministic: bool = True):

@@ -18,6 +18,8 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+
+from streamspeech_tpu.models.layers import LayerNorm
 import jax
 import jax.numpy as jnp
 
@@ -91,7 +93,7 @@ class TTSTransformerDecoder(nn.Module):
                                     dtype=self.dtype, name=f"layers_{i}")
             for i in range(self.layers)
         ]
-        self.layer_norm = nn.LayerNorm(dtype=self.dtype, name="layer_norm")
+        self.layer_norm = LayerNorm(dtype=self.dtype, name="layer_norm")
         self.feat_out = nn.Dense(self.mel_dim * self.n_frames_per_step,
                                  dtype=self.dtype, name="feat_out")
         self.eos_out = nn.Dense(1, dtype=self.dtype, name="eos_out")

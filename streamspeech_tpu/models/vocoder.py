@@ -26,6 +26,8 @@ from __future__ import annotations
 from typing import Any, Dict, List, Optional, Tuple
 
 import flax.linen as nn
+
+from streamspeech_tpu.models.layers import LayerNorm
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -118,12 +120,12 @@ class VariancePredictor(nn.Module):
         h, k = c["var_pred_hidden_dim"], c["var_pred_kernel_size"]
         w, b = _conv_param(self, "conv1", k, x.shape[-1], h)
         x = jax.nn.relu(conv1d(x, w, b, padding=(k - 1) // 2))
-        x = nn.LayerNorm(name="ln1")(x)
+        x = LayerNorm(name="ln1")(x)
         x = nn.Dropout(c["var_pred_dropout"])(x, deterministic=deterministic)
         w, b = _conv_param(self, "conv2", k, h, h)
         # NOTE reference uses padding=1 for conv2 regardless of k (`fastspeech2.py:138`)
         x = jax.nn.relu(conv1d(x, w, b, padding=1))
-        x = nn.LayerNorm(name="ln2")(x)
+        x = LayerNorm(name="ln2")(x)
         x = nn.Dropout(c["var_pred_dropout"])(x, deterministic=deterministic)
         return nn.Dense(1, name="proj")(x)[..., 0]  # [B, T] log-durations
 

@@ -1,0 +1,221 @@
+"""Standalone loaders for the reference's torch modules (numerics parity).
+
+Loads the ACTUAL reference source files under /root/reference with importlib
+after planting minimal stubs for their `fairseq` imports (the full fairseq
+package needs omegaconf/hydra, which are not installed). We execute the
+reference's public model code only to compare numerics against the JAX rebuild
+— VERDICT r1 "Missing #2": nothing previously compared a JAX layer's output
+against the actual reference torch module with shared weights.
+
+Loaded real reference files:
+- researches/chunk_unity/modules/chunk_causal_conv1d.py
+- researches/chunk_unity/modules/convolution.py        (Conv1dSubsampler)
+- researches/chunk_unity/modules/conformer_layer.py    (ChunkConformerEncoderLayer)
+- researches/uni_unity/modules/espnet_multihead_attention.py
+- researches/uni_unity/modules/multihead_attention.py  (import dep of the above)
+- fairseq/fairseq/modules/rotary_positional_embedding.py (torch-only, real)
+- fairseq/fairseq/modules/positional_encoding.py       (RelPositionalEncoding)
+- fairseq/fairseq/models/text_to_speech/hifigan.py     (Generator)
+- fairseq/fairseq/models/text_to_speech/fastspeech2.py::VariancePredictor
+  (AST-extracted: the surrounding file needs full fairseq model registries)
+"""
+
+from __future__ import annotations
+
+import ast
+import importlib.util
+import sys
+import types
+from pathlib import Path
+
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+REF = Path("/root/reference")
+
+
+def _mkmod(name: str) -> types.ModuleType:
+    mod = sys.modules.get(name)
+    if mod is None:
+        mod = types.ModuleType(name)
+        sys.modules[name] = mod
+    return mod
+
+
+def _load_file(dotted: str, path: Path) -> types.ModuleType:
+    if dotted in sys.modules:
+        return sys.modules[dotted]
+    spec = importlib.util.spec_from_file_location(dotted, path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[dotted] = mod
+    spec.loader.exec_module(mod)
+    # attach to parent so `from pkg.mod import X` resolves
+    parent_name, _, child = dotted.rpartition(".")
+    if parent_name:
+        setattr(_mkmod(parent_name), child, mod)
+    return mod
+
+
+def _install_stubs() -> None:
+    if getattr(_install_stubs, "_done", False):
+        return
+
+    fairseq = _mkmod("fairseq")
+    utils = _mkmod("fairseq.utils")
+
+    def get_activation_fn(activation: str):
+        # mirror fairseq/fairseq/utils.py:548-572 for the names we exercise
+        return {
+            "relu": F.relu,
+            "swish": nn.SiLU,  # instantiated with an int arg in conformer FFN
+            "gelu": F.gelu,
+            "tanh": torch.tanh,
+            "linear": (lambda x: x),
+        }[activation]
+
+    def make_positions(tensor, padding_idx: int, onnx_trace: bool = False):
+        # fairseq/fairseq/utils.py:256-266
+        mask = tensor.ne(padding_idx).int()
+        return (torch.cumsum(mask, dim=1).type_as(mask) * mask).long() + padding_idx
+
+    utils.get_activation_fn = get_activation_fn
+    utils.softmax = lambda x, dim, onnx_trace=False: F.softmax(x, dim=dim)
+    utils.eval_str_dict = lambda x, type=dict: x
+    utils.fill_with_neg_inf = lambda t: t.float().fill_(float("-inf")).type_as(t)
+    utils.make_positions = make_positions
+    fairseq.utils = utils
+
+    modules = _mkmod("fairseq.modules")
+
+    def LayerNorm(dim, eps=1e-5, elementwise_affine=True, export=False):
+        return nn.LayerNorm(dim, eps=eps, elementwise_affine=elementwise_affine)
+
+    modules.LayerNorm = LayerNorm
+    fairseq.modules = modules
+
+    fd = _mkmod("fairseq.modules.fairseq_dropout")
+
+    class FairseqDropout(nn.Module):
+        def __init__(self, p, module_name=None):
+            super().__init__()
+            self.p = p
+            self.apply_during_inference = False
+
+        def forward(self, x, inplace: bool = False):
+            if self.p > 0 and (self.training or self.apply_during_inference):
+                return F.dropout(x, p=self.p, training=True, inplace=inplace)
+            return x
+
+    fd.FairseqDropout = FairseqDropout
+    modules.FairseqDropout = FairseqDropout
+    modules.fairseq_dropout = fd
+
+    qn = _mkmod("fairseq.modules.quant_noise")
+    qn.quant_noise = lambda module, p, block_size: module
+    modules.quant_noise = qn.quant_noise
+
+    fmodels = _mkmod("fairseq.models")
+    fid = _mkmod("fairseq.models.fairseq_incremental_decoder")
+
+    class FairseqIncrementalDecoder(nn.Module):
+        def __init__(self, dictionary=None):
+            super().__init__()
+
+        def init_incremental_state(self):
+            pass
+
+        def get_incremental_state(self, incremental_state, key):
+            if incremental_state is None:
+                return None
+            return incremental_state.get(key)
+
+        def set_incremental_state(self, incremental_state, key, value):
+            if incremental_state is not None:
+                incremental_state[key] = value
+            return incremental_state
+
+    fid.FairseqIncrementalDecoder = FairseqIncrementalDecoder
+    fmodels.fairseq_incremental_decoder = fid
+    fairseq.models = fmodels
+
+    # the REAL rotary implementation (torch-only file)
+    _load_file("fairseq.modules.rotary_positional_embedding",
+               REF / "fairseq/fairseq/modules/rotary_positional_embedding.py")
+
+    _install_stubs._done = True
+
+
+def load_reference_modules() -> types.SimpleNamespace:
+    """Load every reference torch module the parity tests drive."""
+    _install_stubs()
+    _mkmod("chunk_unity")
+    _mkmod("chunk_unity.modules")
+    _mkmod("uni_unity")
+    _mkmod("uni_unity.modules")
+
+    ccc = _load_file("chunk_unity.modules.chunk_causal_conv1d",
+                     REF / "researches/chunk_unity/modules/chunk_causal_conv1d.py")
+    mha = _load_file("uni_unity.modules.multihead_attention",
+                     REF / "researches/uni_unity/modules/multihead_attention.py")
+    espnet = _load_file("uni_unity.modules.espnet_multihead_attention",
+                        REF / "researches/uni_unity/modules/espnet_multihead_attention.py")
+    conv = _load_file("chunk_unity.modules.convolution",
+                      REF / "researches/chunk_unity/modules/convolution.py")
+    conformer = _load_file("chunk_unity.modules.conformer_layer",
+                           REF / "researches/chunk_unity/modules/conformer_layer.py")
+    posenc = _load_file("fairseq.modules.positional_encoding",
+                        REF / "fairseq/fairseq/modules/positional_encoding.py")
+    hifigan = _load_file("fairseq.models.text_to_speech.hifigan",
+                         REF / "fairseq/fairseq/models/text_to_speech/hifigan.py")
+    sinpos = _load_file("fairseq.modules.sinusoidal_positional_embedding",
+                        REF / "fairseq/fairseq/modules/sinusoidal_positional_embedding.py")
+
+    return types.SimpleNamespace(
+        ChunkCausalConv1d=ccc.ChunkCausalConv1d,
+        MultiheadAttention=mha.MultiheadAttention,
+        ESPNETMultiHeadedAttention=espnet.ESPNETMultiHeadedAttention,
+        RelPositionMultiHeadedAttention=espnet.RelPositionMultiHeadedAttention,
+        RotaryPositionMultiHeadedAttention=espnet.RotaryPositionMultiHeadedAttention,
+        Conv1dSubsampler=conv.Conv1dSubsampler,
+        ChunkConformerEncoderLayer=conformer.ChunkConformerEncoderLayer,
+        RelPositionalEncoding=posenc.RelPositionalEncoding,
+        SinusoidalPositionalEmbedding=sinpos.SinusoidalPositionalEmbedding,
+        HifiGanGenerator=hifigan.Generator,
+        VariancePredictor=load_variance_predictor(),
+    )
+
+
+def load_variance_predictor():
+    """Extract the reference VariancePredictor class
+    (fairseq/fairseq/models/text_to_speech/fastspeech2.py:117-151) by AST —
+    the surrounding file imports the full fairseq model registry."""
+    _install_stubs()
+    src = (REF / "fairseq/fairseq/models/text_to_speech/fastspeech2.py").read_text()
+    tree = ast.parse(src)
+    cls = next(n for n in tree.body
+               if isinstance(n, ast.ClassDef) and n.name == "VariancePredictor")
+    ns = {
+        "torch": torch, "nn": nn, "F": F,
+        "FairseqDropout": sys.modules["fairseq.modules.fairseq_dropout"].FairseqDropout,
+    }
+    code = compile(ast.Module(body=[cls], type_ignores=[]), "<fastspeech2>", "exec")
+    exec(code, ns)
+    return ns["VariancePredictor"]
+
+
+def buffered_chunk_mask(t: int, chunk_size: int) -> torch.Tensor:
+    """Reference encoder chunk mask
+    (researches/chunk_unity/models/s2t_conformer.py:196-213)."""
+    chunk = max(chunk_size, 1)
+    idx = torch.arange(0, t).unsqueeze(1)
+    idx = (idx // chunk + 1) * chunk
+    idx = idx.clamp(1, t)
+    tmp = torch.arange(0, t).unsqueeze(0).repeat(t, 1)
+    return torch.where(idx <= tmp, torch.tensor(float("-inf")),
+                       torch.tensor(0.0))
+
+
+def lengths_to_padding_mask(lens: torch.Tensor, t: int) -> torch.Tensor:
+    """fairseq/fairseq/data/data_utils.py lengths_to_padding_mask (True = pad)."""
+    return torch.arange(t)[None, :] >= lens[:, None]

