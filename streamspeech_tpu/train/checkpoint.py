@@ -90,6 +90,71 @@ def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
                              restore_args=restore_args)
 
 
+def average_checkpoints(paths) -> Dict[str, Any]:
+    """Average model params across checkpoints — semantics of
+    `fairseq/scripts/average_checkpoints.py:17-65`: float params are the
+    element-wise mean; non-float leaves (and batch_stats / opt_state / step)
+    are copied from the FIRST checkpoint."""
+    import jax
+
+    assert len(paths) >= 1
+    payloads = [load_checkpoint(str(p)) for p in paths]
+    first = payloads[0]
+
+    structs = {jax.tree.structure(p["params"]) for p in payloads}
+    if len(structs) != 1:
+        raise KeyError("checkpoints have mismatched param trees "
+                       "(average_checkpoints.py:50 raises KeyError too)")
+
+    n = len(payloads)
+
+    def avg(*leaves):
+        x0 = np.asarray(leaves[0])
+        if np.issubdtype(x0.dtype, np.floating):
+            acc = np.zeros(x0.shape, np.float64)
+            for leaf in leaves:
+                acc += np.asarray(leaf, np.float64)
+            return (acc / n).astype(x0.dtype)
+        return x0  # int leaves: fairseq floor-divides the sum; none in our trees
+
+    params = jax.tree.map(avg, *[p["params"] for p in payloads])
+    return {**first, "params": params}
+
+
+def load_pretrained_component(variables: Dict[str, Any], checkpoint_path: str,
+                              component: str, strict: bool = True
+                              ) -> Dict[str, Any]:
+    """Graft one tower (e.g. "encoder", "mt_decoder", "unit_decoder") of a saved
+    checkpoint into fresh variables — fairseq's
+    `load_pretrained_component_from_model` (`checkpoint_utils.py:821-851`).
+    Accepts native orbax checkpoints or reference fairseq .pt files."""
+    import jax
+
+    if Path(checkpoint_path).is_file():  # reference .pt
+        params_src, bs_src, _ = import_fairseq_streamspeech(checkpoint_path)
+        payload = {"params": params_src, "batch_stats": bs_src}
+    else:
+        payload = load_checkpoint(checkpoint_path)
+    if component not in payload["params"]:
+        raise KeyError(f"checkpoint has no component {component!r}")
+    sub = payload["params"][component]
+    if strict:
+        want = jax.tree.structure(variables["params"][component])
+        have = jax.tree.structure(jax.tree.map(np.asarray, sub))
+        if want != have:
+            raise ValueError(
+                f"component {component!r} structure mismatch:\n{want}\nvs\n{have}")
+    out = {k: dict(v) if isinstance(v, dict) else v
+           for k, v in variables.items()}
+    out["params"] = dict(variables["params"])
+    out["params"][component] = sub
+    bs = payload.get("batch_stats") or {}
+    if component in bs and "batch_stats" in variables:
+        out["batch_stats"] = dict(variables.get("batch_stats", {}))
+        out["batch_stats"][component] = bs[component]
+    return out
+
+
 # ---------------------------------------------------------------------------
 # fairseq .pt import
 # ---------------------------------------------------------------------------

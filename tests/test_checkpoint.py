@@ -191,3 +191,64 @@ def test_config_inference_from_imported_params(tmp_path):
                    jnp.zeros((1, 32, 80)), jnp.array([32]),
                    jnp.array([[2, 5]], dtype=jnp.int32), n2=1)
     assert np.isfinite(np.asarray(out["unit_logits"])).all()
+
+
+def test_average_checkpoints_and_cli(tmp_path):
+    """fairseq average_checkpoints semantics: element-wise float mean, first
+    checkpoint's metadata (`fairseq/scripts/average_checkpoints.py:17-65`)."""
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    tx = make_optimizer(OptimizationConfig(update_freq=1))
+    states = []
+    for seed in range(3):
+        variables = init_params(model, jax.random.PRNGKey(seed))
+        state = TrainState.create(variables, tx)
+        save_checkpoint(str(tmp_path), seed, state, keep_last=10)
+        states.append(state)
+
+    from streamspeech_tpu.train.checkpoint import average_checkpoints
+
+    paths = [str(tmp_path / f"checkpoint_{i}") for i in range(3)]
+    payload = average_checkpoints(paths)
+    expect = jax.tree.map(
+        lambda a, b, c: (np.asarray(a, np.float64) + np.asarray(b, np.float64)
+                         + np.asarray(c, np.float64)) / 3,
+        states[0].params, states[1].params, states[2].params)
+    tree_equal(payload["params"], expect)
+    # metadata comes from the first checkpoint
+    assert int(np.asarray(payload["step"])) == int(np.asarray(states[0].step))
+
+    # CLI over a save dir with --num-last
+    from streamspeech_tpu.cli.average_checkpoints import main as avg_main
+
+    out = tmp_path / "averaged"
+    avg_main(["--inputs", str(tmp_path), "--num-last", "3",
+              "--output", str(out)])
+    restored = load_checkpoint(str(out))
+    tree_equal(restored["params"], expect)
+
+
+def test_load_pretrained_component(tmp_path):
+    """fairseq load_pretrained_component_from_model
+    (`fairseq/fairseq/checkpoint_utils.py:821-851`): graft one tower into a
+    fresh model."""
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    tx = make_optimizer(OptimizationConfig(update_freq=1))
+    donor = init_params(model, jax.random.PRNGKey(5))
+    save_checkpoint(str(tmp_path), 0, TrainState.create(donor, tx))
+
+    from streamspeech_tpu.train.checkpoint import load_pretrained_component
+
+    fresh = init_params(model, jax.random.PRNGKey(6))
+    path = str(tmp_path / "checkpoint_0")
+    grafted = load_pretrained_component(fresh, path, "encoder")
+    tree_equal(grafted["params"]["encoder"], donor["params"]["encoder"])
+    tree_equal(grafted["params"]["mt_decoder"], fresh["params"]["mt_decoder"])
+    tree_equal(grafted["batch_stats"]["encoder"],
+               donor["batch_stats"]["encoder"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        load_pretrained_component(fresh, path, "nonexistent_tower")
