@@ -45,6 +45,17 @@ def main():
         {"params": r}, src, jnp.full((1,), 64, jnp.int32),
         jnp.full((1, 4), 4, jnp.int32), n2=1, use_running_stats=False))
     variables = jax.block_until_ready(init(jax.random.PRNGKey(0)))
+    # doctor the random weights so the policy actually WRITEs (suppress CTC
+    # blanks, zero special embeddings) — otherwise the bench measures only the
+    # all-READ path and the latency metrics are vacuous
+    p = variables["params"]
+    for head in ("source_unigram_head", "ctc_target_unigram_head"):
+        b = p[head]["proj"]["bias"]
+        p[head]["proj"]["bias"] = b.at[0].add(-8.0)
+    p["mt_decoder"]["embed_tokens"] = \
+        p["mt_decoder"]["embed_tokens"].at[:4].set(0.0)
+    p["unit_decoder"]["embed_tokens"] = \
+        p["unit_decoder"]["embed_tokens"].at[:4].set(0.0).at[-1].set(0.0)
     voc = CodeGenerator(DEFAULT_VOCODER_CFG)
     vinit = jax.jit(lambda r: voc.init(r, jnp.zeros((1, 8), jnp.int32),
                                        max_frames=32))
@@ -80,8 +91,11 @@ def main():
     scores = ev(sources, refs)
     wall = time.perf_counter() - t0
     audio = args.utterances * args.seconds
+    n_writes = sum(len(ins.delays) for ins in ev.instances.values())
     print(f"wall {wall:.2f}s for {audio:.1f}s audio → pipeline RTF "
-          f"{wall / audio:.3f} ({audio / wall:.1f}x real time)")
+          f"{wall / audio:.3f} ({audio / wall:.1f}x real time); "
+          f"{n_writes} WRITEs over "
+          f"{int(audio * 1000 / args.segment_ms)} chunks")
     for k in ("AL", "AL_CA", "RTF", "RTF_CA", "NumChunks", "StartOffset"):
         if k in scores:
             v = scores[k]

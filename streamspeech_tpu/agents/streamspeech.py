@@ -84,16 +84,21 @@ class _StreamSpeechAgentBase:
         self.src_ctc_prefix_length = 0
         self.tgt_ctc_prefix_length = 0
 
-    def ingest(self, states) -> int:
-        """Push any new raw samples through fbank → gcmvn → encoder blocks.
-        Returns total encoder frames so far."""
+    def _extract_feats(self, states) -> np.ndarray:
+        """New raw samples → incremental fbank → gcmvn."""
         new = states.source[self.consumed_samples:]
         self.consumed_samples = len(states.source)
         feats = self.fbank.push(np.asarray(new, np.float32)) if len(new) else \
             np.zeros((0, 80), np.float32)
         if self.gcmvn is not None and feats.shape[0]:
             feats = np.asarray(self.gcmvn(feats))
-        self.session.push_features(feats, self.cfg.chunk_size,
+        return feats
+
+    def ingest(self, states) -> int:
+        """Push any new raw samples through fbank → gcmvn → encoder blocks.
+        Returns total encoder frames so far."""
+        self.session.push_features(self._extract_feats(states),
+                                   self.cfg.chunk_size,
                                    self.cfg.conv_chunk_size,
                                    finished=states.source_finished)
         return self.session.enc_len
@@ -110,6 +115,16 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
         self.unit_dict = unit_dict
         self.unit_blank = unit_dict.blank()
         self.quiet = quiet
+        # fused single-round-trip policy path (runtime/session.py policy_step):
+        # word-start lookup table for the device-side whole-word rollback
+        self._starts_word = None
+        if engine is not None and getattr(engine, "_policy_step", None) is not None:
+            import jax.numpy as jnp
+            vocab = engine.model.cfg.mt_decoder.vocab_size
+            table = np.zeros((vocab,), bool)
+            for i in range(min(len(tgt_dict), vocab)):
+                table[i] = tgt_dict[i].startswith("▁")
+            self._starts_word = jnp.asarray(table)
         SpeechToSpeechAgent.__init__(self)
 
     def reset(self):
@@ -131,9 +146,75 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
     def policy(self):
         cfg = self.cfg
         finished = self.states.source_finished
+        if self._starts_word is not None and not finished:
+            feats = self._extract_feats(self.states)
+            out = self.session.fused_policy(
+                feats, cfg.chunk_size, cfg.conv_chunk_size, cfg.lagging_k1,
+                cfg.stride_n, cfg.whole_word, cfg.max_len, self._starts_word,
+                self.src_ctc_prefix_length, self.tgt_ctc_prefix_length,
+                len(self.units))
+            if out is not None:
+                return self._fused_action(out)
+            # not applicable this chunk: drain pending feats the host way
+            self.session.push_features(
+                np.zeros((0, feats.shape[1] if feats.ndim == 2 else 80),
+                         np.float32),
+                cfg.chunk_size, cfg.conv_chunk_size, finished=False)
+            if self.session.enc_len == 0:
+                return ReadAction()
+            return self._host_policy(finished)
         if self.ingest(self.states) == 0:
             return self._final_write() if finished else ReadAction()
+        return self._host_policy(finished)
 
+    def _fused_action(self, out):
+        """Translate the fused policy-step bundle into an Action. All numeric
+        decisions were made on device with reference semantics; this is pure
+        bookkeeping + the rare exact fallbacks."""
+        cfg = self.cfg
+        hyps = self.session.ctc_hypotheses()
+        self.asr_text = spm_text(self.src_dict, hyps["asr"][0])
+        self.st_text = spm_text(self.tgt_dict, hyps["st"][0])
+        if out["grew"]:
+            self.src_ctc_prefix_length = max(out["asr_count"],
+                                             self.src_ctc_prefix_length)
+            self.tgt_ctc_prefix_length = max(out["st_count"],
+                                             self.tgt_ctc_prefix_length)
+        if not out["do_decode"]:
+            if out["grew"] and out["budget_over"]:
+                # budget exceeded the fused scan length — run the exact host
+                # continuation for this chunk (device caches untouched)
+                subword = ((out["st_count"] - cfg.lagging_k1)
+                           // cfg.stride_n) * cfg.stride_n
+                if cfg.whole_word:
+                    subword += 1
+                new_subword = subword - len(self.session.mt_tokens)
+                if new_subword < 1:
+                    return ReadAction()
+                return self._decode_and_emit(False, new_subword)
+            return ReadAction()
+        prev_units = len(self.units)
+        if not out["do_emit"]:
+            # rollback-to-zero or same/shorter prefix — reference READs
+            return ReadAction()
+        if not out["ok"]:
+            units, new_wav, dur = self.session.emit_tail(prev_units)
+        else:
+            units, new_wav = out["units"], out["tail"]
+        if len(units) == 0 or len(units) <= prev_units:
+            return ReadAction()
+        if self.unfinished_wav is not None and len(self.unfinished_wav) > 0:
+            new_wav = np.concatenate([self.unfinished_wav,
+                                      np.asarray(new_wav)])
+            self.unfinished_wav = None
+        self.units = list(units)
+        return WriteAction(
+            SpeechSegment(content=np.asarray(new_wav).tolist(),
+                          sample_rate=SAMPLE_RATE, finished=False),
+            finished=False)
+
+    def _host_policy(self, finished):
+        cfg = self.cfg
         hyps = self.session.ctc_hypotheses()
         asr_tokens, _ = hyps["asr"]
         st_tokens, _ = hyps["st"]
@@ -158,7 +239,10 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
                 return ReadAction()
         else:
             new_subword_tokens = -1
+        return self._decode_and_emit(finished, new_subword_tokens)
 
+    def _decode_and_emit(self, finished, new_subword_tokens):
+        cfg = self.cfg
         prev_tokens = list(self.session.mt_tokens)
         self.session.mt_decode(new_subword_tokens, max_len=cfg.max_len)
 
@@ -177,16 +261,15 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
                 len(self.session.mt_tokens) <= len(prev_tokens)):
             return self._final_write() if finished else ReadAction()
 
-        # fused device-side emission: unit synthesis + CTC collapse + vocoder in
-        # one round trip (runtime/session.py emit)
-        units, wav, dur = self.session.emit()
+        # fused device-side tail emission: unit synthesis + CTC collapse +
+        # windowed vocoding in one round trip, fetching only the NEW wav
+        # (runtime/session.py emit_tail)
+        units, new_wav, dur = self.session.emit_tail(len(self.units))
         if len(units) == 0:
             return self._final_write() if finished else ReadAction()
         cur_units = units[len(self.units):]
         if len(cur_units) < 1:
             return self._final_write() if finished else ReadAction()
-        cur_wav_len = int(dur[-len(cur_units):].sum()) * 320
-        new_wav = wav[len(wav) - cur_wav_len:] if cur_wav_len > 0 else wav[:0]
         if self.unfinished_wav is not None and len(self.unfinished_wav) > 0:
             new_wav = np.concatenate([self.unfinished_wav, new_wav])
             self.unfinished_wav = None

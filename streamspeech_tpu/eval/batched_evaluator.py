@@ -230,19 +230,16 @@ class BatchedS2STEvaluator(_BatchedStreamingEvaluator):
 
         # ---- emission phase: ONE fused batched call for all writers ----
         if writers:
-            outs = bs.emit()
+            outs = bs.emit_tail([len(st[i].units) for i in range(bs.batch)])
             for i in writers:
                 finished, new_sub, _ = wants[i]
-                units, wav, dur = outs[i]
+                units, new_wav, dur = outs[i]
                 cur_units = units[len(st[i].units):]
                 if len(units) == 0 or len(cur_units) < 1:
                     if finished:
                         self._write(instances[i], st[i], np.zeros((0,)),
                                     finished=True, target_finished=True)
                     continue
-                cur_wav_len = int(dur[-len(cur_units):].sum()) * 320
-                new_wav = wav[len(wav) - cur_wav_len:] if cur_wav_len > 0 \
-                    else wav[:0]
                 st[i].units = units
                 target_finished = finished and new_sub == -1
                 self._write(instances[i], st[i], new_wav, finished=finished,

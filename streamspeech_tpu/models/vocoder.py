@@ -146,6 +146,26 @@ def expand_by_durations(x: jnp.ndarray, dur: jnp.ndarray, max_frames: int
     return out * valid[..., None].astype(x.dtype), total
 
 
+def expand_window_by_durations(x: jnp.ndarray, dur: jnp.ndarray,
+                               start_frame: jnp.ndarray, window_frames: int
+                               ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Windowed repeat_interleave: materialize only output frames
+    [start, start+window) of the full duration expansion. x [B, T, C],
+    dur [B, T], start_frame [B] → (window [B, W, C], n_valid [B] frames of the
+    window that lie before the sequence end). Streaming emission only needs the
+    tail of the waveform; vocoding a bounded window (plus receptive-field
+    context) instead of the whole prefix makes emission O(new) not O(total)."""
+    csum = jnp.cumsum(dur, axis=1)                       # [B, T]
+    total = csum[:, -1]
+    frames = start_frame[:, None] + jnp.arange(window_frames)[None, :]  # [B, W]
+    idx = jnp.sum(frames[:, :, None] >= csum[:, None, :], axis=-1)
+    idx = jnp.minimum(idx, x.shape[1] - 1)
+    out = jnp.take_along_axis(x, idx[..., None], axis=1)
+    valid = frames < total[:, None]
+    return out * valid[..., None].astype(x.dtype), \
+        jnp.maximum(total - start_frame, 0)
+
+
 class CodeGenerator(nn.Module):
     """Unit-code vocoder = embedding + duration predictor + HiFi-GAN."""
 
@@ -159,6 +179,17 @@ class CodeGenerator(nn.Module):
                                                 name="dur_predictor")
                               if c.get("dur_predictor_params") else None)
         self.generator = HiFiGANGenerator(c, name="generator")
+
+    def vocode_window(self, code: jnp.ndarray, dur: jnp.ndarray,
+                      start_frame: jnp.ndarray, window_frames: int
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Vocode only expanded frames [start, start+window) of the duration
+        expansion of `code` — O(window) generator compute for tail emission.
+        Returns (wav [B, window*320], n_valid_frames [B])."""
+        x = self.dict_emb(code)
+        win, n_valid = expand_window_by_durations(x, dur, start_frame,
+                                                  window_frames)
+        return self.generator(win), n_valid
 
     def predict_durations(self, code: jnp.ndarray) -> jnp.ndarray:
         """code [B, T] → int durations [B, T]: clamp(round(exp(log_dur) - 1), 1)."""

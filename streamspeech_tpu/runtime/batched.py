@@ -208,3 +208,45 @@ class BatchedStreamingSession:
             out.append((units[i, :c].tolist(), wav[i, : int(n_samples[i])],
                         dur[i, :c]))
         return out
+
+    def emit_tail(self, n_prev_units: List[int]
+                  ) -> List[Tuple[List[int], np.ndarray, np.ndarray]]:
+        """Batched tail emission: per-stream (unit dict-ids, NEW wav tail,
+        durations) via windowed vocoding + small fetch; falls back to the full
+        `emit` for any stream whose window/tail cap is exceeded (rare)."""
+        assert self.e.vocoder is not None, "no vocoder configured"
+        lens = [len(t) + 1 for t in self.mt_tokens]
+        s = _bucket(max(lens), self.e.mt_buckets)
+        prev = np.full((self.batch, s), PAD, np.int32)
+        for i, t in enumerate(self.mt_tokens):
+            prev[i, 0] = EOS
+            prev[i, 1: len(t) + 1] = t
+        u_bucket = _bucket(
+            min(max(lens) * self.e.model.cfg.unit_decoder.ctc_upsample_rate,
+                self.e.unit_buckets[-1]), self.e.unit_buckets)
+        units, count, dur, tail, cur_len, ok = self.e._emit_tail_batched(
+            self.e.variables, self.e.vocoder_variables, jnp.asarray(prev),
+            self.enc_buf, jnp.asarray(self.enc_len),
+            jnp.asarray(lens, jnp.int32),
+            jnp.asarray(n_prev_units, jnp.int32),
+            valid_tokens_cap=s, unit_capacity=u_bucket,
+            window_frames=self.e.emit_window_frames,
+            ctx_frames=self.e.emit_ctx_frames,
+            tail_cap=self.e.emit_tail_cap)
+        units, count, dur = np.asarray(units), np.asarray(count), np.asarray(dur)
+        tail, cur_len, ok = np.asarray(tail), np.asarray(cur_len), np.asarray(ok)
+        full = None
+        out = []
+        for i in range(self.batch):
+            c = int(count[i])
+            if not bool(ok[i]):
+                if full is None:
+                    full = self.emit()
+                u, wav, d = full[i]
+                new = len(u) - n_prev_units[i]
+                cur = int(d[-new:].sum()) * 320 if new > 0 else 0
+                out.append((u, wav[len(wav) - cur:] if cur else wav[:0], d))
+                continue
+            out.append((units[i, :c].tolist(), tail[i, : int(cur_len[i])],
+                        dur[i, :c]))
+        return out

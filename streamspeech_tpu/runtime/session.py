@@ -69,6 +69,13 @@ class StreamSpeechEngine:
         self.mt_buckets = mt_buckets
         self.unit_buckets = unit_buckets
         self.max_dur_per_unit = max_dur_per_unit
+        # tail-emission window: vocode the last `window` expanded frames with
+        # `ctx` frames of receptive-field context (HiFi-GAN RF ≈ 21 frames for
+        # the default config; exactness asserted by tests/test_emit_tail.py)
+        self.emit_window_frames = 256
+        self.emit_ctx_frames = 64
+        self.emit_tail_cap = (self.emit_window_frames
+                              - self.emit_ctx_frames) * 320
         c = model.cfg
 
         @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"),
@@ -111,6 +118,9 @@ class StreamSpeechEngine:
 
         self._mt_decode_greedy = mt_decode_greedy
         self.max_decode_per_call = 16
+        # fused policy-step scan length: covers typical per-chunk budgets
+        # (1-4 tokens); larger budgets fall back to the host loop (exact)
+        self.fused_steps = 8
 
         @functools.partial(jax.jit, static_argnames=())
         def synthesize(variables, mt_tokens, enc_buf, enc_len):
@@ -175,6 +185,57 @@ class StreamSpeechEngine:
 
             @functools.partial(jax.jit,
                                static_argnames=("valid_tokens_cap",
+                                                "unit_capacity",
+                                                "window_frames", "ctx_frames",
+                                                "tail_cap"))
+            def emit_tail(variables, voc_vars, mt_tokens, enc_buf, enc_len,
+                          n_tokens, n_prev_units, valid_tokens_cap,
+                          unit_capacity, window_frames, ctx_frames, tail_cap):
+                """Tail emission: like `emit` but vocodes only a bounded window
+                of frames ending at the sequence end (receptive-field context
+                included) and returns ONLY the new-wav tail. Cuts the vocoder
+                compute from O(total prefix) to O(window) and the host fetch
+                from max_frames*320 floats (~650k, ~56 ms through the tunnel)
+                to tail_cap (~65k). `ok=False` → caller falls back to the full
+                `emit` program (window/tail caps exceeded; rare)."""
+                from streamspeech_tpu.ops.ctc import ctc_collapse_device
+
+                ids = model.apply(variables, mt_tokens, enc_buf, enc_len,
+                                  method=StreamSpeechModel.synthesize_units)[0]
+                up = model.cfg.unit_decoder.ctc_upsample_rate
+                ids = ids[0][: valid_tokens_cap * up]
+                pos_valid = jnp.arange(ids.shape[0]) < n_tokens * up
+                is_unit = (ids >= nspecial) & (ids < unit_blank)
+                ids = jnp.where(pos_valid & is_unit, ids, unit_blank)
+                units, count = ctc_collapse_device(ids, blank=unit_blank)
+                codes = jnp.where(units == unit_blank, 0, units - nspecial)
+                count = jnp.minimum(count, unit_capacity)
+                if unit_capacity > codes.shape[0]:
+                    codes = jnp.pad(codes, (0, unit_capacity - codes.shape[0]))
+                codes = codes[None, :unit_capacity]
+                pos = jnp.arange(unit_capacity)
+                dur_mask = (pos < count).astype(jnp.int32)
+                dur = vocoder.apply(voc_vars, codes,
+                                    method=CodeGenerator.predict_durations)
+                dur = dur * dur_mask[None]
+                total = jnp.sum(dur[0])
+                # frames belonging to the not-yet-emitted units
+                need = jnp.sum(jnp.where(pos >= n_prev_units, dur[0], 0))
+                start = jnp.maximum(total - need - ctx_frames, 0)
+                wav_win, n_valid = vocoder.apply(
+                    voc_vars, codes, dur, start[None], window_frames,
+                    method=CodeGenerator.vocode_window)
+                cur_len = need * 320
+                tail_start = n_valid[0] * 320 - cur_len
+                wav_pad = jnp.pad(wav_win[0], (0, tail_cap))
+                tail = jax.lax.dynamic_slice(wav_pad, (tail_start,), (tail_cap,))
+                ok = ((total - start) <= window_frames) & (cur_len <= tail_cap)
+                return units, count, dur[0], tail, cur_len, ok
+
+            self._emit_tail = emit_tail
+
+            @functools.partial(jax.jit,
+                               static_argnames=("valid_tokens_cap",
                                                 "max_frames"))
             def emit_batched(variables, voc_vars, mt_tokens, enc_buf, enc_len,
                              n_tokens, valid_tokens_cap, max_frames):
@@ -210,6 +271,233 @@ class StreamSpeechEngine:
                 return units, count, wav, n_samples, dur
 
             self._emit_batched = emit_batched
+
+            @functools.partial(jax.jit,
+                               static_argnames=("valid_tokens_cap",
+                                                "unit_capacity",
+                                                "window_frames", "ctx_frames",
+                                                "tail_cap"))
+            def emit_tail_batched(variables, voc_vars, mt_tokens, enc_buf,
+                                  enc_len, n_tokens, n_prev_units,
+                                  valid_tokens_cap, unit_capacity,
+                                  window_frames, ctx_frames, tail_cap):
+                """Batched tail emission: per-stream windowed vocoding + small
+                per-stream tail fetch (the full-buffer fetch is B×650k floats
+                ≈ B×56 ms through the tunnel — the serving bottleneck)."""
+                from streamspeech_tpu.ops.ctc import ctc_collapse_device
+
+                ids = model.apply(variables, mt_tokens, enc_buf, enc_len,
+                                  method=StreamSpeechModel.synthesize_units)[0]
+                up = model.cfg.unit_decoder.ctc_upsample_rate
+                ids = ids[:, : valid_tokens_cap * up]
+                pos_valid = jnp.arange(ids.shape[1])[None, :] < \
+                    (n_tokens * up)[:, None]
+                is_unit = (ids >= nspecial) & (ids < unit_blank)
+                ids = jnp.where(pos_valid & is_unit, ids, unit_blank)
+                units, count = ctc_collapse_device(ids, blank=unit_blank)
+                codes = jnp.where(units == unit_blank, 0, units - nspecial)
+                cap = unit_capacity
+                count = jnp.minimum(count, cap)
+                if cap > codes.shape[1]:
+                    codes = jnp.pad(codes, ((0, 0), (0, cap - codes.shape[1])))
+                    units = jnp.pad(units, ((0, 0), (0, cap - units.shape[1])),
+                                    constant_values=unit_blank)
+                codes = codes[:, :cap]
+                posu = jnp.arange(cap)[None, :]
+                dur = vocoder.apply(voc_vars, codes,
+                                    method=CodeGenerator.predict_durations)
+                dur = dur * (posu < count[:, None]).astype(jnp.int32)
+                total = jnp.sum(dur, axis=1)
+                need = jnp.sum(jnp.where(posu >= n_prev_units[:, None],
+                                         dur, 0), axis=1)
+                start = jnp.maximum(total - need - ctx_frames, 0)
+                wav_win, n_valid = vocoder.apply(
+                    voc_vars, codes, dur, start, window_frames,
+                    method=CodeGenerator.vocode_window)
+                cur_len = need * 320
+                tail_start = n_valid * 320 - cur_len
+                wav_pad = jnp.pad(wav_win, ((0, 0), (0, tail_cap)))
+                tail = jax.vmap(
+                    lambda w, s: jax.lax.dynamic_slice(w, (s,), (tail_cap,))
+                )(wav_pad, tail_start)
+                ok = ((total - start) <= window_frames) & \
+                    (cur_len <= tail_cap)
+                return units[:, :cap], count, dur, tail, cur_len, ok
+
+            self._emit_tail_batched = emit_tail_batched
+
+            @functools.partial(
+                jax.jit,
+                static_argnames=("chunk", "conv_chunk", "finished",
+                                 "whole_word", "k1", "n", "steps", "mt_cap",
+                                 "unit_capacity", "window_frames",
+                                 "ctx_frames", "tail_cap", "max_len"),
+                donate_argnums=(4, 5, 6, 7))
+            def policy_step(variables, voc_vars, block, valid_len, enc_state,
+                            enc_buf, mt_self, mt_cross, mt_buf, n_tokens,
+                            src_len, tgt_len, asr_count, st_count, last_asr,
+                            last_st, n_units, starts_word, chunk, conv_chunk,
+                            finished, whole_word, k1, n, steps, mt_cap,
+                            unit_capacity, window_frames, ctx_frames,
+                            tail_cap, max_len):
+                """ONE device round trip for a whole S2ST policy chunk: encode
+                block -> CTC growth gates -> (cond) MT greedy continue ->
+                whole-word rollback -> unit synthesis -> windowed vocode tail.
+
+                The reference needs 3+ host syncs per chunk
+                (`agent/speech_to_speech.streamspeech.agent.py:422-770`);
+                through this environment's ~36 ms tunnel each sync IS the
+                latency budget, so every policy decision (the growth gates of
+                agent.py:485-520, the whole-word rollback of :542-559, the
+                same-emission gates of :609-637 and the unit-growth gates of
+                :688-737) is computed on device and the host reads back one
+                bundle of scalars + the new wav tail. Policy counters are
+                host-provided scalars (cheap in the request), so the host
+                stays the source of truth and can interleave the unfused
+                fallback path (budget > steps; multi-block chunks) freely.
+                """
+                from streamspeech_tpu.ops.ctc import ctc_collapse_device
+
+                enc, enc_state, asr_ids, st_ids = model.apply(
+                    variables, block, enc_state, chunk, conv_chunk, valid_len,
+                    method=StreamSpeechModel.encode_block_with_ctc)
+                enc_buf = jax.lax.dynamic_update_slice(
+                    enc_buf, enc, (0, enc_state.pos - enc.shape[1], 0))
+                mt_cross = model.apply(variables, enc, mt_cross,
+                                       method=StreamSpeechModel.mt_fill_cross)
+
+                # dedup'd CTC hypothesis growth (blank=0), continuing across
+                # block boundaries via the carried last raw frame id — the
+                # device twin of ops/ctc.ctc_collapse counting
+                def grow(count, last, ids_row):
+                    prev = jnp.concatenate([last[None], ids_row[:-1]])
+                    fresh = (ids_row != prev) & (ids_row != 0)
+                    return count + jnp.sum(fresh), ids_row[-1]
+
+                asr_count, last_asr = grow(asr_count, last_asr, asr_ids[0])
+                st_count, last_st = grow(st_count, last_st, st_ids[0])
+
+                if not finished:
+                    grew = (asr_count >= src_len + n) & \
+                        (st_count >= tgt_len + n)
+                    subword = ((st_count - k1) // n) * n + \
+                        (1 if whole_word else 0)
+                    budget = subword - n_tokens
+                    decode_wanted = grew & (budget >= 1)
+                else:
+                    grew = jnp.asarray(True)
+                    budget = jnp.asarray(max_len, jnp.int32) - n_tokens
+                    decode_wanted = budget >= 1
+                budget_over = budget > steps
+                room = n_tokens + steps <= mt_buf.shape[1]
+                do_decode = decode_wanted & ~budget_over & room
+
+                pos_mt = jnp.arange(mt_buf.shape[1], dtype=jnp.int32)
+
+                def decode_branch(ops):
+                    mt_self, mt_buf = ops
+                    feed = jnp.where(n_tokens > 0,
+                                     mt_buf[0, jnp.maximum(n_tokens - 1, 0)],
+                                     EOS)
+                    toks, emitted, hit_eos, mt_self = model.apply(
+                        variables, feed[None], n_tokens,
+                        jnp.minimum(budget, steps), mt_self, mt_cross,
+                        steps, None,
+                        method=StreamSpeechModel.mt_decode_greedy)
+                    cand = jax.lax.dynamic_update_slice(
+                        mt_buf, toks.astype(mt_buf.dtype), (0, n_tokens))
+                    n_total = n_tokens + emitted[0]
+                    # keep old buf beyond the accepted region (PAD fill from
+                    # the scan must not overwrite the stale-but-unused tail)
+                    mt_buf = jnp.where((pos_mt >= n_total)[None], mt_buf, cand)
+                    if whole_word and not finished:
+                        # rollback to the last word-start token, exclusive
+                        # (agent.py:542-559); none found -> keep 0 -> READ
+                        ws = starts_word[mt_buf[0]] & (pos_mt < n_total)
+                        keep = jnp.maximum(jnp.max(
+                            jnp.where(ws, pos_mt, -1)), 0)
+                    else:
+                        keep = n_total
+                    mt_self = [kv.truncate(keep) for kv in mt_self]
+                    return mt_self, mt_buf, keep, hit_eos[0]
+
+                def skip_branch(ops):
+                    mt_self, mt_buf = ops
+                    return mt_self, mt_buf, n_tokens, jnp.asarray(False)
+
+                mt_self, mt_buf, keep, hit_eos = jax.lax.cond(
+                    do_decode, decode_branch, skip_branch, (mt_self, mt_buf))
+
+                # same-emission / shorter-prefix gates (agent.py:609-637):
+                # tokens are append-only then truncated, so "equal" is
+                # keep == n_tokens and "shorter" is keep < n_tokens
+                do_emit = do_decode & (keep > n_tokens)
+
+                cap = unit_capacity
+
+                def emit_branch(_):
+                    shifted = jnp.concatenate(
+                        [jnp.full((1,), EOS, mt_buf.dtype),
+                         mt_buf[0]])[:mt_cap]
+                    padded = jnp.where(
+                        pos_mt[:mt_cap] <= keep, shifted, PAD)[None]
+                    ids = model.apply(
+                        variables, padded, enc_buf, enc_state.pos,
+                        method=StreamSpeechModel.synthesize_units)[0]
+                    up = model.cfg.unit_decoder.ctc_upsample_rate
+                    ids = ids[0][: mt_cap * up]
+                    pv = jnp.arange(ids.shape[0]) < (keep + 1) * up
+                    is_unit = (ids >= nspecial) & (ids < unit_blank)
+                    ids = jnp.where(pv & is_unit, ids, unit_blank)
+                    units, count = ctc_collapse_device(ids, blank=unit_blank)
+                    codes = jnp.where(units == unit_blank, 0, units - nspecial)
+                    count = jnp.minimum(count, cap)
+                    if cap > codes.shape[0]:
+                        codes = jnp.pad(codes, (0, cap - codes.shape[0]))
+                        units = jnp.pad(units, (0, cap - units.shape[0]),
+                                        constant_values=unit_blank)
+                    codes = codes[None, :cap]
+                    posu = jnp.arange(cap)
+                    dur = vocoder.apply(voc_vars, codes,
+                                        method=CodeGenerator.predict_durations)
+                    dur = dur * (posu < count).astype(jnp.int32)[None]
+                    total = jnp.sum(dur[0])
+                    need = jnp.sum(jnp.where(posu >= n_units, dur[0], 0))
+                    start = jnp.maximum(total - need - ctx_frames, 0)
+                    wav_win, n_valid = vocoder.apply(
+                        voc_vars, codes, dur, start[None], window_frames,
+                        method=CodeGenerator.vocode_window)
+                    cur_len = need * 320
+                    tail_start = n_valid[0] * 320 - cur_len
+                    wav_pad = jnp.pad(wav_win[0], (0, tail_cap))
+                    tail = jax.lax.dynamic_slice(wav_pad, (tail_start,),
+                                                 (tail_cap,))
+                    ok = ((total - start) <= window_frames) & \
+                        (cur_len <= tail_cap)
+                    return units[:cap], count, dur[0], tail, cur_len, ok
+
+                def no_emit(_):
+                    return (jnp.full((cap,), unit_blank, jnp.int32),
+                            jnp.asarray(0, jnp.int32),
+                            jnp.zeros((cap,), jnp.int32),
+                            jnp.zeros((tail_cap,), jnp.float32),
+                            jnp.asarray(0, jnp.int32), jnp.asarray(True))
+
+                units, count, dur, tail, cur_len, ok = jax.lax.cond(
+                    do_emit, emit_branch, no_emit, None)
+
+                flags = jnp.stack([do_decode.astype(jnp.int32),
+                                   do_emit.astype(jnp.int32),
+                                   ok.astype(jnp.int32),
+                                   budget_over.astype(jnp.int32),
+                                   hit_eos.astype(jnp.int32),
+                                   grew.astype(jnp.int32)])
+                return (enc_state, enc_buf, mt_self, mt_cross, mt_buf,
+                        asr_ids[0], st_ids[0], keep, asr_count, st_count,
+                        last_asr, last_st, units, count, dur, tail, cur_len,
+                        flags)
+
+            self._policy_step = policy_step
 
     def new_session(self) -> "StreamingSession":
         return StreamingSession(self)
@@ -292,6 +580,83 @@ class StreamingSession:
         self.st_ids.extend(np.asarray(st_ids[0]).tolist())
         return s
 
+    def fused_policy(self, feats: np.ndarray, chunk: int, conv_chunk: int,
+                     k1: int, n: int, whole_word: bool, max_len: int,
+                     starts_word, src_len: int, tgt_len: int,
+                     n_prev_units: int) -> Optional[Dict]:
+        """Single-round-trip policy chunk (engine._policy_step). Returns None
+        when not applicable — caller pushes the pending feats through the host
+        path instead. Applicable = unfinished input, exactly one complete
+        block pending, MT buffer has decode room."""
+        self.pending_feats = np.concatenate([self.pending_feats, feats], axis=0)
+        block_enc = math.lcm(max(chunk, 1), max(conv_chunk, 1))
+        block_frames = 4 * block_enc
+        steps = self.e.fused_steps
+        if (self.finished_input
+                or self.pending_feats.shape[0] // block_frames != 1
+                or self.mt_steps + steps > self.e.max_mt_tokens
+                or self.enc_len + block_enc > self.e.max_enc_frames):
+            return None
+        block = self.pending_feats[:block_frames]
+        self.pending_feats = self.pending_feats[block_frames:]
+
+        max_len = min(max_len, self.e.max_mt_tokens - 2,
+                      self.e.mt_buckets[-1] - 2)
+        mt_cap = _bucket(min(len(self.mt_tokens) + steps + 2,
+                             self.e.mt_buckets[-1]), self.e.mt_buckets)
+        up = self.e.model.cfg.unit_decoder.ctc_upsample_rate
+        u_cap = _bucket(min(mt_cap * up, self.e.unit_buckets[-1]),
+                        self.e.unit_buckets)
+
+        mt_buf = np.full((1, self.e.max_mt_tokens), PAD, np.int32)
+        if self.mt_tokens:
+            mt_buf[0, : len(self.mt_tokens)] = self.mt_tokens
+        # host-side collapse state for the device growth recurrence
+        asr_count = len(ctc_collapse(np.asarray(self.asr_ids), blank=0)[0])
+        st_count = len(ctc_collapse(np.asarray(self.st_ids), blank=0)[0])
+        last_asr = self.asr_ids[-1] if self.asr_ids else -1
+        last_st = self.st_ids[-1] if self.st_ids else -1
+
+        (self.enc_state, self.enc_buf, self.mt_self, self.mt_cross, mt_buf_d,
+         asr_ids, st_ids, keep, asr_count_d, st_count_d, _, _, units, count,
+         dur, tail, cur_len, flags) = self.e._policy_step(
+            self.e.variables, self.e.vocoder_variables,
+            jnp.asarray(block)[None], jnp.asarray(block.shape[0], jnp.int32),
+            self.enc_state, self.enc_buf, self.mt_self, self.mt_cross,
+            jnp.asarray(mt_buf), jnp.asarray(len(self.mt_tokens), jnp.int32),
+            jnp.asarray(src_len, jnp.int32), jnp.asarray(tgt_len, jnp.int32),
+            jnp.asarray(asr_count, jnp.int32), jnp.asarray(st_count, jnp.int32),
+            jnp.asarray(last_asr, jnp.int32), jnp.asarray(last_st, jnp.int32),
+            jnp.asarray(n_prev_units, jnp.int32), starts_word,
+            chunk=chunk, conv_chunk=conv_chunk, finished=False,
+            whole_word=whole_word, k1=k1, n=n, steps=steps, mt_cap=mt_cap,
+            unit_capacity=u_cap, window_frames=self.e.emit_window_frames,
+            ctx_frames=self.e.emit_ctx_frames, tail_cap=self.e.emit_tail_cap,
+            max_len=max_len)
+
+        # ONE fetch: everything the host needs in a single bundle
+        flags = np.asarray(flags)
+        out = {
+            "do_decode": bool(flags[0]), "do_emit": bool(flags[1]),
+            "ok": bool(flags[2]), "budget_over": bool(flags[3]),
+            "hit_eos": bool(flags[4]), "grew": bool(flags[5]),
+            "keep": int(keep),
+            "asr_count": int(asr_count_d), "st_count": int(st_count_d),
+            "count": int(count),
+        }
+        self.enc_len += block_enc
+        self.asr_ids.extend(np.asarray(asr_ids).tolist())
+        self.st_ids.extend(np.asarray(st_ids).tolist())
+        if out["do_decode"]:
+            buf = np.asarray(mt_buf_d)[0]
+            self.mt_tokens = buf[: out["keep"]].tolist()
+            self.mt_steps = out["keep"]
+        if out["do_emit"]:
+            out["units"] = np.asarray(units)[: out["count"]].tolist()
+            out["dur"] = np.asarray(dur)[: out["count"]]
+            out["tail"] = np.asarray(tail)[: int(cur_len)]
+        return out
+
     def ctc_hypotheses(self) -> Dict[str, Tuple[List[int], List[int]]]:
         """Collapsed (tokens, frame indices) for the ASR and ST CTC heads
         (blank = 0, `agent/ctc_decoder.py:67-89`)."""
@@ -324,12 +689,16 @@ class StreamingSession:
             chunk_budget = min(budget, self.e.max_decode_per_call,
                                max_len - len(self.mt_tokens))
             feed = self.mt_tokens[-1] if self.mt_tokens else EOS
+            # scan length is the dominant device cost (~4.4 ms/step through
+            # the tunnel); typical streaming budgets are 1-4 tokens, so use a
+            # short scan program for them and the long one otherwise
+            steps = 4 if chunk_budget <= 4 else self.e.max_decode_per_call
             toks, emitted, hit_eos, self.mt_self = self.e._mt_decode_greedy(
                 self.e.variables, jnp.asarray([feed], jnp.int32),
                 jnp.asarray(self.mt_steps, jnp.int32),
                 jnp.asarray(chunk_budget, jnp.int32),
                 self.mt_self, self.mt_cross,
-                max_steps=self.e.max_decode_per_call)
+                max_steps=steps)
             n = int(emitted[0])
             self.mt_tokens.extend(np.asarray(toks[0])[:n].tolist())
             self.mt_steps += n
@@ -392,6 +761,42 @@ class StreamingSession:
         unit_ids = np.asarray(units)[:count].tolist()
         n = int(n_samples)
         return unit_ids, np.asarray(wav[:n]), np.asarray(dur[:count])
+
+    def emit_tail(self, n_prev_units: int
+                  ) -> Tuple[List[int], np.ndarray, np.ndarray]:
+        """Emission returning only the NEW wav tail (what the agent actually
+        writes): windowed vocoding + small fetch. Falls back to the full
+        `emit` program when the window/tail caps are exceeded (long final
+        flush). Returns (all unit dict-ids, new wav tail, per-unit durations).
+        """
+        assert self.e.vocoder is not None, "no vocoder configured"
+        tokens = [EOS] + self.mt_tokens
+        s = _bucket(len(tokens), self.e.mt_buckets)
+        padded = np.full((1, s), PAD, np.int32)
+        padded[0, : len(tokens)] = tokens
+        u_bucket = _bucket(min(len(tokens) *
+                               self.e.model.cfg.unit_decoder.ctc_upsample_rate,
+                               self.e.unit_buckets[-1]), self.e.unit_buckets)
+        units, count, dur, tail, cur_len, ok = self.e._emit_tail(
+            self.e.variables, self.e.vocoder_variables, jnp.asarray(padded),
+            self.enc_buf, jnp.asarray(self.enc_len),
+            jnp.asarray(len(tokens), jnp.int32),
+            jnp.asarray(n_prev_units, jnp.int32),
+            valid_tokens_cap=s, unit_capacity=u_bucket,
+            window_frames=self.e.emit_window_frames,
+            ctx_frames=self.e.emit_ctx_frames,
+            tail_cap=self.e.emit_tail_cap)
+        if not bool(ok):
+            unit_ids, wav, dur_np = self.emit()
+            new = len(unit_ids) - n_prev_units
+            if new <= 0:
+                return unit_ids, wav[:0], dur_np
+            cur = int(dur_np[-new:].sum()) * 320
+            return unit_ids, wav[len(wav) - cur:], dur_np
+        count = int(count)
+        n = int(cur_len)
+        return (np.asarray(units)[:count].tolist(), np.asarray(tail[:n]),
+                np.asarray(dur[:count]))
 
     def vocode(self, unit_codes: List[int]) -> Tuple[np.ndarray, np.ndarray]:
         """unit_codes: raw vocoder codes (0-based). Returns (wav, durations)."""

@@ -75,6 +75,14 @@ class FakeSession:
         wav = np.arange(int(dur.sum()) * 320, dtype=np.float32)
         return units, wav, dur
 
+    def emit_tail(self, n_prev):
+        units, wav, dur = self.emit()
+        new = len(units) - n_prev
+        if new <= 0:
+            return units, wav[:0], dur
+        cur = int(dur[-new:].sum()) * 320
+        return units, wav[len(wav) - cur:], dur
+
 
 class ScriptedS2STAgent(StreamSpeechS2STAgent):
     """The real agent with the device engine swapped for the scripted session
