@@ -124,5 +124,95 @@ def main():
           f"(all-READ): {320 / per_read:.1f}x")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and "--fused" not in sys.argv:
     main()
+
+
+def profile_fused(iters=20):
+    """Time the fused policy_step (READ and WRITE shapes) + emit_tail."""
+    import numpy as np
+
+    from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+    from streamspeech_tpu.models.vocoder import CodeGenerator, DEFAULT_VOCODER_CFG
+    from streamspeech_tpu.runtime.session import StreamSpeechEngine
+    from streamspeech_tpu.train.synthetic import full_config
+
+    cfg = full_config()
+    model = StreamSpeechModel(cfg)
+    src = jnp.zeros((1, 64, 80))
+    init = jax.jit(lambda r: model.init(
+        {"params": r}, src, jnp.full((1,), 64, jnp.int32),
+        jnp.full((1, 4), 4, jnp.int32), n2=1, use_running_stats=False))
+    variables = jax.block_until_ready(init(jax.random.PRNGKey(0)))
+    p = variables["params"]
+    for head in ("source_unigram_head", "ctc_target_unigram_head"):
+        p[head]["proj"]["bias"] = p[head]["proj"]["bias"].at[0].add(-8.0)
+    p["mt_decoder"]["embed_tokens"] = \
+        p["mt_decoder"]["embed_tokens"].at[:4].set(0.0)
+    p["unit_decoder"]["embed_tokens"] = \
+        p["unit_decoder"]["embed_tokens"].at[:4].set(0.0).at[-1].set(0.0)
+    voc = CodeGenerator(DEFAULT_VOCODER_CFG)
+    vinit = jax.jit(lambda r: voc.init(r, jnp.zeros((1, 8), jnp.int32),
+                                       max_frames=32))
+    voc_vars = jax.block_until_ready(vinit(jax.random.PRNGKey(1)))
+    e = StreamSpeechEngine(model, variables, voc, voc_vars, max_enc_frames=512)
+    table = jnp.zeros((cfg.mt_decoder.vocab_size,), bool)
+    rng = np.random.RandomState(0)
+
+    def one_chunk(sess, src_len, tgt_len):
+        feats = rng.randn(32, 80).astype(np.float32)
+        return sess.fused_policy(feats, 8, 8, 0, 1, False, 200, table,
+                                 src_len, tgt_len, len_units(sess))
+
+    def len_units(sess):
+        return 0
+
+    # READ-shaped call: huge prefix counters force gates to fail
+    sess = e.new_session()
+    out = one_chunk(sess, 10 ** 6, 10 ** 6)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = one_chunk(sess, 10 ** 6, 10 ** 6)
+        ts.append(time.perf_counter() - t0)
+        if sess.enc_len + 8 > 500:
+            sess = e.new_session()
+            one_chunk(sess, 10 ** 6, 10 ** 6)
+    ts.sort()
+    print(f"policy_step READ              : {ts[len(ts)//2]*1e3:8.2f} ms",
+          flush=True)
+
+    # WRITE-shaped call: zero counters let gates pass (doctored CTC grows)
+    sess = e.new_session()
+    out = one_chunk(sess, 0, 0)
+    ts = []
+    for _ in range(iters):
+        sess2 = e.new_session()
+        sess2.mt_tokens = [5, 6, 7]
+        sess2.mt_steps = 3
+        t0 = time.perf_counter()
+        out = one_chunk(sess2, 0, 0)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    print(f"policy_step WRITE (bucket 16) : {ts[len(ts)//2]*1e3:8.2f} ms "
+          f"(do_decode={out['do_decode']}, do_emit={out['do_emit']})",
+          flush=True)
+
+    # emit_tail standalone (bucket 16)
+    sess = e.new_session()
+    sess.mt_tokens = [5, 6, 7, 8]
+    sess.mt_steps = 4
+    sess.enc_len = 64
+    sess.emit_tail(0)
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        sess.emit_tail(0)
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    print(f"emit_tail (bucket 16)         : {ts[len(ts)//2]*1e3:8.2f} ms",
+          flush=True)
+
+
+if __name__ == "__main__" and "--fused" in sys.argv:
+    profile_fused()

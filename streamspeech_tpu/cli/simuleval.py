@@ -37,7 +37,11 @@ def main(argv=None):
     p.add_argument("--target", type=str, required=True)
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--fairseq-checkpoint", type=str, default=None)
-    p.add_argument("--agent", choices=["s2st", "s2tt", "asr"], default="s2st")
+    p.add_argument("--agent",
+                   choices=["s2st", "s2tt", "asr", "t2t-waitk", "t2t-hmt"],
+                   default="s2st")
+    p.add_argument("--waitk", type=int, default=3,
+                   help="k for the t2t-waitk agent")
     p.add_argument("--source-segment-size", type=int, default=320)
     p.add_argument("--src-dict", type=str, default=None)
     p.add_argument("--tgt-dict", type=str, default=None)
@@ -94,6 +98,10 @@ def main(argv=None):
             wav = load_audio_or_features(line.strip(), src_root)
             srcs.append(list(np.asarray(wav, np.float32)))
         return srcs, list(Path(args.target).read_text().splitlines())
+
+    if args.agent.startswith("t2t-"):
+        _run_t2t(args)
+        return
 
     if args.remote_eval:
         # evaluate an agent served elsewhere (`--standalone`) — no local model
@@ -188,3 +196,84 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _run_t2t(args):
+    """Text-to-text simultaneous evaluation (the reference's t2t dataloader +
+    TextToTextInstance path, `SimulEval/simuleval/data/dataloader/
+    t2t_dataloader.py` + `evaluator/instance.py:426`): source/target are text
+    files, one token is sent per read, AL/AP are measured in tokens."""
+    import json
+
+    import jax
+
+    from streamspeech_tpu.config import DecoderConfig
+    from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator
+
+    sources = [line for line in Path(args.source).read_text().splitlines()
+               if line.strip()]
+    references = [line for line in Path(args.target).read_text().splitlines()]
+
+    if args.src_dict:
+        src_dict = Dictionary.load(args.src_dict)
+    else:
+        src_dict = Dictionary()
+        for line in sources:
+            for w in line.split():
+                src_dict.add_symbol(w)
+    if args.tgt_dict:
+        tgt_dict = Dictionary.load(args.tgt_dict)
+    else:
+        tgt_dict = Dictionary()
+        for line in references:
+            for w in line.split():
+                tgt_dict.add_symbol(w)
+
+    restored = cfg_raw = None
+    if args.checkpoint:
+        from streamspeech_tpu.train.checkpoint import load_checkpoint
+
+        restored = load_checkpoint(args.checkpoint)
+        cfg_path = Path(args.checkpoint).parent / "config.json"
+        cfg_raw = json.loads(cfg_path.read_text()) if cfg_path.exists() else {}
+    dec_raw = (cfg_raw or {}).get("decoder", {})
+    dec = DecoderConfig(vocab_size=len(tgt_dict))
+    for k, v in dec_raw.items():
+        if hasattr(dec, k):
+            setattr(dec, k, v)
+    enc_layers = (cfg_raw or {}).get("encoder_layers", 6)
+
+    if args.agent == "t2t-hmt":
+        from streamspeech_tpu.models.hmt import HMTAgent, HMTModel
+
+        model = HMTModel(len(src_dict), dec, encoder_layers=enc_layers,
+                         first_read=(cfg_raw or {}).get("first_read", 3),
+                         cands_per_token=(cfg_raw or {}).get(
+                             "cands_per_token", 4))
+        variables = restored and {"params": restored["params"]}
+        if variables is None:
+            import jax.numpy as jnp
+            variables = jax.jit(lambda r: model.init(
+                r, jnp.full((1, 8), 4, jnp.int32), jnp.full((1,), 8, jnp.int32),
+                jnp.full((1, 4), 4, jnp.int32)))(jax.random.PRNGKey(0))
+        agent = HMTAgent(model, variables, src_dict, tgt_dict)
+    else:
+        from streamspeech_tpu.models.text_mt import TextMTModel, WaitkTextAgent
+
+        model = TextMTModel(len(src_dict), dec, encoder_layers=enc_layers)
+        variables = restored and {"params": restored["params"]}
+        if variables is None:
+            import jax.numpy as jnp
+            variables = jax.jit(lambda r: model.init(
+                r, jnp.full((1, 8), 4, jnp.int32),
+                jnp.full((1, 4), 4, jnp.int32)))(jax.random.PRNGKey(0))
+        agent = WaitkTextAgent(model, variables, src_dict, tgt_dict,
+                               waitk=args.waitk)
+
+    ev = SentenceLevelEvaluator(
+        agent, source_segment_size=args.source_segment_size,
+        latency_metrics=args.latency_metrics,
+        quality_metrics=args.quality_metrics, output_dir=args.output)
+    for k, v in ev(sources, references,
+                   continue_unfinished=args.continue_unfinished).items():
+        print(f"{k}\t{v:.3f}" if v == v else f"{k}\tnan")

@@ -17,6 +17,7 @@ from streamspeech_tpu.eval.instance import (
     Instance,
     SpeechOutputInstance,
     TextOutputInstance,
+    TextToTextInstance,
 )
 from streamspeech_tpu.eval.latency import build_scorers
 from streamspeech_tpu.eval import quality as _quality  # noqa: F401 (registers scorers)
@@ -58,7 +59,13 @@ class SentenceLevelEvaluator:
             Path(output_dir).mkdir(parents=True, exist_ok=True)
 
     def _make_instance(self, index, source, reference, sample_rate) -> Instance:
-        cls = SpeechOutputInstance if self.speech_output else TextOutputInstance
+        if getattr(self.agent, "source_type", "speech") == "text":
+            # t2t evaluation (instance.py:426 TextToTextInstance); delays are
+            # measured in source tokens
+            cls = TextToTextInstance
+        else:
+            cls = (SpeechOutputInstance if self.speech_output
+                   else TextOutputInstance)
         return cls(index, source, reference, sample_rate=sample_rate,
                    output_dir=self.output_dir)
 
