@@ -219,3 +219,41 @@ def buffered_chunk_mask(t: int, chunk_size: int) -> torch.Tensor:
 def lengths_to_padding_mask(lens: torch.Tensor, t: int) -> torch.Tensor:
     """fairseq/fairseq/data/data_utils.py lengths_to_padding_mask (True = pad)."""
     return torch.arange(t)[None, :] >= lens[:, None]
+
+
+def make_torch_vocoder_ckpt(tmp_path, num_embeddings: int = 20,
+                            embedding_dim: int = 16, tiny: bool = True):
+    """Write a reference-format CodeHiFiGAN checkpoint ({"generator": sd} +
+    config.json) built from the REAL reference torch modules, for driving the
+    import path in CLI-level tests. Returns (ckpt_path, cfg_path)."""
+    import argparse
+    import json
+
+    ns = load_reference_modules()
+    cfg = {
+        "upsample_rates": [5, 4, 4, 2, 2],
+        "upsample_kernel_sizes": [11, 8, 8, 4, 4],
+        "upsample_initial_channel": 32 if tiny else 512,
+        "resblock_kernel_sizes": [3, 7, 11],
+        "resblock_dilation_sizes": [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+        "num_embeddings": num_embeddings,
+        "embedding_dim": embedding_dim,
+        "model_in_dim": embedding_dim,
+        "dur_predictor_params": {
+            "encoder_embed_dim": embedding_dim,
+            "var_pred_hidden_dim": embedding_dim,
+            "var_pred_kernel_size": 3, "var_pred_dropout": 0.5},
+    }
+    torch.manual_seed(7)
+    gen = ns.HifiGanGenerator(cfg)
+    holder = nn.Module()
+    for name, mod in gen.named_children():
+        holder.add_module(name, mod)
+    holder.dict = nn.Embedding(num_embeddings, embedding_dim)
+    holder.dur_predictor = ns.VariancePredictor(
+        argparse.Namespace(**cfg["dur_predictor_params"]))
+    ckpt = Path(tmp_path) / "g_00500000"
+    torch.save({"generator": holder.state_dict()}, ckpt)
+    cfg_path = Path(tmp_path) / "vocoder_config.json"
+    cfg_path.write_text(json.dumps(cfg))
+    return str(ckpt), str(cfg_path)
