@@ -78,12 +78,18 @@ def main():
                for _ in range(args.utterances)]
     refs = ["ref"] * args.utterances
 
-    # warmup utterance compiles every program
+    # compile every streaming program variant up front (serving-startup cost)
+    t0 = time.perf_counter()
+    n_prog = engine.warmup(chunk=agent.cfg.chunk_size,
+                           conv_chunk=agent.cfg.conv_chunk_size,
+                           whole_word=agent.cfg.whole_word)
+    print(f"engine.warmup: {n_prog} programs in "
+          f"{time.perf_counter() - t0:.1f}s", flush=True)
     ev0 = SentenceLevelEvaluator(agent, source_segment_size=args.segment_ms,
                                  quality_metrics=[])
     t0 = time.perf_counter()
     ev0(sources[:1], refs[:1])
-    print(f"warmup (compiles): {time.perf_counter() - t0:.1f}s", flush=True)
+    print(f"warmup utterance: {time.perf_counter() - t0:.1f}s", flush=True)
 
     ev = SentenceLevelEvaluator(agent, source_segment_size=args.segment_ms,
                                 quality_metrics=[])

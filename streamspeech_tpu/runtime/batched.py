@@ -29,6 +29,7 @@ from __future__ import annotations
 import math
 from typing import Dict, List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -112,14 +113,14 @@ class BatchedStreamingSession:
     def _run_block(self, blocks: np.ndarray, valid: np.ndarray, chunk: int,
                    conv_chunk: int) -> None:
         enc, self.enc_state, self.enc_buf, asr_ids, st_ids = \
-            self.e._encode_block(self.e.variables, jnp.asarray(blocks),
+            self.e._encode_block(self.e.variables, blocks,
                                  self.enc_state, self.enc_buf,
-                                 jnp.asarray(valid, jnp.int32),
+                                 np.asarray(valid, np.int32),
                                  chunk=chunk, conv_chunk=conv_chunk)
         self.mt_cross = self.e._mt_fill_cross(self.e.variables, enc,
                                               self.mt_cross)
         out_valid = -(-valid // 4)    # real encoder frames per stream
-        asr_np, st_np = np.asarray(asr_ids), np.asarray(st_ids)
+        asr_np, st_np = jax.device_get((asr_ids, st_ids))
         for i in range(self.batch):
             n = int(out_valid[i])
             self.asr_ids[i].extend(asr_np[i, :n].tolist())
@@ -136,7 +137,7 @@ class BatchedStreamingSession:
 
     def _cross_valid(self) -> jnp.ndarray:
         return jnp.arange(self.e.max_enc_frames)[None, :] < \
-            jnp.asarray(self.enc_len)[:, None]
+            np.asarray(self.enc_len)[:, None]
 
     def mt_decode(self, budgets: np.ndarray, max_len: int = 200
                   ) -> List[List[int]]:
@@ -155,15 +156,14 @@ class BatchedStreamingSession:
                                np.int32)
             offsets = np.asarray([len(t) for t in self.mt_tokens], np.int32)
             toks, emitted, hit_eos, self.mt_self = self.e._mt_decode_greedy(
-                self.e.variables, jnp.asarray(first), jnp.asarray(offsets),
-                jnp.asarray(chunk_b, jnp.int32), self.mt_self, self.mt_cross,
+                self.e.variables, first, offsets,
+                np.asarray(chunk_b, np.int32), self.mt_self, self.mt_cross,
                 max_steps=self.e.max_decode_per_call,
                 cross_valid=self._cross_valid())
-            toks, emitted = np.asarray(toks), np.asarray(emitted)
-            hit_eos = np.asarray(hit_eos)
+            toks, emitted, hit_eos = jax.device_get((toks, emitted, hit_eos))
             for i in range(self.batch):
                 self.mt_tokens[i].extend(toks[i, : emitted[i]].tolist())
-            new_lens = jnp.asarray([len(t) for t in self.mt_tokens], jnp.int32)
+            new_lens = np.asarray([len(t) for t in self.mt_tokens], np.int32)
             self.mt_self = [kv.truncate(new_lens) for kv in self.mt_self]
             budgets = np.where(hit_eos | (emitted == 0), 0, budgets - emitted)
         return [list(t) for t in self.mt_tokens]
@@ -173,7 +173,7 @@ class BatchedStreamingSession:
         other streams' caches are untouched (per-example index truncation)."""
         keep = max(0, min(keep, len(self.mt_tokens[stream])))
         self.mt_tokens[stream] = self.mt_tokens[stream][:keep]
-        new_lens = jnp.asarray([len(t) for t in self.mt_tokens], jnp.int32)
+        new_lens = np.asarray([len(t) for t in self.mt_tokens], np.int32)
         self.mt_self = [kv.truncate(new_lens) for kv in self.mt_self]
 
     # ------------------------------------------------------------------
@@ -194,14 +194,12 @@ class BatchedStreamingSession:
             min(max(lens) * self.e.model.cfg.unit_decoder.ctc_upsample_rate,
                 self.e.unit_buckets[-1]), self.e.unit_buckets)
         max_frames = u_bucket * self.e.max_dur_per_unit
-        units, count, wav, n_samples, dur = self.e._emit_batched(
-            self.e.variables, self.e.vocoder_variables, jnp.asarray(prev),
-            self.enc_buf, jnp.asarray(self.enc_len),
-            jnp.asarray(lens, jnp.int32),
-            valid_tokens_cap=s, max_frames=max_frames)
-        units, count = np.asarray(units), np.asarray(count)
-        wav, n_samples, dur = (np.asarray(wav), np.asarray(n_samples),
-                               np.asarray(dur))
+        units, count, wav, n_samples, dur = jax.device_get(
+            self.e._emit_batched(
+                self.e.variables, self.e.vocoder_variables, prev,
+                self.enc_buf, np.asarray(self.enc_len),
+                np.asarray(lens, np.int32),
+                valid_tokens_cap=s, max_frames=max_frames))
         out = []
         for i in range(self.batch):
             c = int(count[i])
@@ -224,17 +222,16 @@ class BatchedStreamingSession:
         u_bucket = _bucket(
             min(max(lens) * self.e.model.cfg.unit_decoder.ctc_upsample_rate,
                 self.e.unit_buckets[-1]), self.e.unit_buckets)
-        units, count, dur, tail, cur_len, ok = self.e._emit_tail_batched(
-            self.e.variables, self.e.vocoder_variables, jnp.asarray(prev),
-            self.enc_buf, jnp.asarray(self.enc_len),
-            jnp.asarray(lens, jnp.int32),
-            jnp.asarray(n_prev_units, jnp.int32),
-            valid_tokens_cap=s, unit_capacity=u_bucket,
-            window_frames=self.e.emit_window_frames,
-            ctx_frames=self.e.emit_ctx_frames,
-            tail_cap=self.e.emit_tail_cap)
-        units, count, dur = np.asarray(units), np.asarray(count), np.asarray(dur)
-        tail, cur_len, ok = np.asarray(tail), np.asarray(cur_len), np.asarray(ok)
+        units, count, dur, tail, cur_len, ok = jax.device_get(
+            self.e._emit_tail_batched(
+                self.e.variables, self.e.vocoder_variables, prev,
+                self.enc_buf, np.asarray(self.enc_len),
+                np.asarray(lens, np.int32),
+                np.asarray(n_prev_units, np.int32),
+                valid_tokens_cap=s, unit_capacity=u_bucket,
+                window_frames=self.e.emit_window_frames,
+                ctx_frames=self.e.emit_ctx_frames,
+                tail_cap=self.e.emit_tail_cap))
         full = None
         out = []
         for i in range(self.batch):

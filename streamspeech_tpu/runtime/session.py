@@ -502,6 +502,57 @@ class StreamSpeechEngine:
     def new_session(self) -> "StreamingSession":
         return StreamingSession(self)
 
+    def warmup(self, chunk: int = 8, conv_chunk: int = 8,
+               whole_word: bool = False, k1: int = 0, n: int = 1,
+               max_len: int = 200) -> int:
+        """Compile every streaming program variant for the given chunking
+        (serving-startup cost, NOT per-chunk): through this environment's
+        remote compile helper a lazy mid-stream compile costs minutes and
+        wrecks tail latency. Returns the number of programs warmed."""
+        import numpy as np
+
+        block = np.zeros((4 * math.lcm(max(chunk, 1), max(conv_chunk, 1)), 80),
+                         np.float32)
+        count = 0
+        if self.vocoder is not None:
+            table = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
+            for cap in self.mt_buckets:
+                fill = cap - self.fused_steps - 2
+                if fill < 0 or fill + self.fused_steps > self.max_mt_tokens:
+                    continue
+                sess = self.new_session()
+                sess.mt_tokens = [4] * fill
+                sess.mt_steps = fill
+                # gates forced shut (huge prefix counters): compiles the
+                # encode+gates part; then forced open: compiles decode+emit
+                sess.fused_policy(block, chunk, conv_chunk, k1, n, whole_word,
+                                  max_len, table, 10 ** 6, 10 ** 6, 0)
+                sess2 = self.new_session()
+                sess2.mt_tokens = [4] * fill
+                sess2.mt_steps = fill
+                sess2.fused_policy(block, chunk, conv_chunk, k1, n, whole_word,
+                                   max_len, table, 0, 0, 0)
+                count += 2
+        # host-path programs (fallbacks + finish): encoder, mt scan 4/16,
+        # tail + full emission per mt bucket
+        sess = self.new_session()
+        sess.push_features(block, chunk, conv_chunk)
+        count += 1
+        for steps in (1, self.max_decode_per_call - 1):
+            s2 = self.new_session()
+            s2.push_features(block, chunk, conv_chunk)
+            s2.mt_decode(steps)
+            count += 1
+        if self.vocoder is not None:
+            for cap in self.mt_buckets:
+                s3 = self.new_session()
+                s3.push_features(block, chunk, conv_chunk)
+                s3.mt_tokens = [4] * max(1, cap - 2)
+                s3.mt_steps = len(s3.mt_tokens)
+                s3.emit_tail(0)
+                count += 1
+        return count
+
 
 class StreamingSession:
     """Per-utterance state + host-side orchestration (batch 1)."""
@@ -566,18 +617,21 @@ class StreamingSession:
 
     def _run_block(self, block: np.ndarray, chunk: int, conv_chunk: int,
                    valid_len: Optional[int] = None) -> int:
-        vl = jnp.asarray(block.shape[0] if valid_len is None else valid_len,
-                         jnp.int32)
+        # NB tunnel discipline: numpy args are inlined into the execute RPC
+        # (free); an explicit jnp.asarray/device_put costs a ~31 ms round trip,
+        # and EACH np.asarray fetch costs another — fetch once via device_get.
+        vl = np.int32(block.shape[0] if valid_len is None else valid_len)
         enc, self.enc_state, self.enc_buf, asr_ids, st_ids = self.e._encode_block(
-            self.e.variables, jnp.asarray(block)[None], self.enc_state,
+            self.e.variables, block[None], self.enc_state,
             self.enc_buf, vl, chunk=chunk, conv_chunk=conv_chunk)
         s = enc.shape[1]
         self.enc_len += s
         # grow MT cross-attn caches with the new frames
         self.mt_cross = self.e._mt_fill_cross(self.e.variables, enc,
                                               self.mt_cross)
-        self.asr_ids.extend(np.asarray(asr_ids[0]).tolist())
-        self.st_ids.extend(np.asarray(st_ids[0]).tolist())
+        asr_np, st_np = jax.device_get((asr_ids[0], st_ids[0]))
+        self.asr_ids.extend(asr_np.tolist())
+        self.st_ids.extend(st_np.tolist())
         return s
 
     def fused_policy(self, feats: np.ndarray, chunk: int, conv_chunk: int,
@@ -621,21 +675,25 @@ class StreamingSession:
          asr_ids, st_ids, keep, asr_count_d, st_count_d, _, _, units, count,
          dur, tail, cur_len, flags) = self.e._policy_step(
             self.e.variables, self.e.vocoder_variables,
-            jnp.asarray(block)[None], jnp.asarray(block.shape[0], jnp.int32),
+            block[None], np.int32(block.shape[0]),
             self.enc_state, self.enc_buf, self.mt_self, self.mt_cross,
-            jnp.asarray(mt_buf), jnp.asarray(len(self.mt_tokens), jnp.int32),
-            jnp.asarray(src_len, jnp.int32), jnp.asarray(tgt_len, jnp.int32),
-            jnp.asarray(asr_count, jnp.int32), jnp.asarray(st_count, jnp.int32),
-            jnp.asarray(last_asr, jnp.int32), jnp.asarray(last_st, jnp.int32),
-            jnp.asarray(n_prev_units, jnp.int32), starts_word,
+            mt_buf, np.int32(len(self.mt_tokens)),
+            np.int32(src_len), np.int32(tgt_len),
+            np.int32(asr_count), np.int32(st_count),
+            np.int32(last_asr), np.int32(last_st),
+            np.int32(n_prev_units), starts_word,
             chunk=chunk, conv_chunk=conv_chunk, finished=False,
             whole_word=whole_word, k1=k1, n=n, steps=steps, mt_cap=mt_cap,
             unit_capacity=u_cap, window_frames=self.e.emit_window_frames,
             ctx_frames=self.e.emit_ctx_frames, tail_cap=self.e.emit_tail_cap,
             max_len=max_len)
 
-        # ONE fetch: everything the host needs in a single bundle
-        flags = np.asarray(flags)
+        # ONE fetch RPC for the whole bundle (per-output np.asarray costs a
+        # ~33 ms round trip each; device_get batches)
+        (flags, keep, asr_count_d, st_count_d, asr_ids, st_ids, mt_buf_d,
+         units, count, dur, tail, cur_len) = jax.device_get(
+            (flags, keep, asr_count_d, st_count_d, asr_ids, st_ids, mt_buf_d,
+             units, count, dur, tail, cur_len))
         out = {
             "do_decode": bool(flags[0]), "do_emit": bool(flags[1]),
             "ok": bool(flags[2]), "budget_over": bool(flags[3]),
@@ -645,16 +703,15 @@ class StreamingSession:
             "count": int(count),
         }
         self.enc_len += block_enc
-        self.asr_ids.extend(np.asarray(asr_ids).tolist())
-        self.st_ids.extend(np.asarray(st_ids).tolist())
+        self.asr_ids.extend(asr_ids.tolist())
+        self.st_ids.extend(st_ids.tolist())
         if out["do_decode"]:
-            buf = np.asarray(mt_buf_d)[0]
-            self.mt_tokens = buf[: out["keep"]].tolist()
+            self.mt_tokens = mt_buf_d[0][: out["keep"]].tolist()
             self.mt_steps = out["keep"]
         if out["do_emit"]:
-            out["units"] = np.asarray(units)[: out["count"]].tolist()
-            out["dur"] = np.asarray(dur)[: out["count"]]
-            out["tail"] = np.asarray(tail)[: int(cur_len)]
+            out["units"] = units[: out["count"]].tolist()
+            out["dur"] = dur[: out["count"]]
+            out["tail"] = tail[: int(cur_len)]
         return out
 
     def ctc_hypotheses(self) -> Dict[str, Tuple[List[int], List[int]]]:
@@ -694,15 +751,15 @@ class StreamingSession:
             # short scan program for them and the long one otherwise
             steps = 4 if chunk_budget <= 4 else self.e.max_decode_per_call
             toks, emitted, hit_eos, self.mt_self = self.e._mt_decode_greedy(
-                self.e.variables, jnp.asarray([feed], jnp.int32),
-                jnp.asarray(self.mt_steps, jnp.int32),
-                jnp.asarray(chunk_budget, jnp.int32),
+                self.e.variables, np.asarray([feed], np.int32),
+                np.int32(self.mt_steps), np.int32(chunk_budget),
                 self.mt_self, self.mt_cross,
                 max_steps=steps)
+            toks, emitted, hit_eos = jax.device_get((toks, emitted, hit_eos))
             n = int(emitted[0])
-            self.mt_tokens.extend(np.asarray(toks[0])[:n].tolist())
+            self.mt_tokens.extend(toks[0][:n].tolist())
             self.mt_steps += n
-            self.mt_self = [kv.truncate(jnp.asarray(self.mt_steps, jnp.int32))
+            self.mt_self = [kv.truncate(np.int32(self.mt_steps))
                             for kv in self.mt_self]
             budget -= n
             if bool(hit_eos[0]) or n == 0:
@@ -718,7 +775,7 @@ class StreamingSession:
             return
         self.mt_tokens = self.mt_tokens[:keep]
         self.mt_steps -= drop
-        self.mt_self = [kv.truncate(jnp.asarray(self.mt_steps, jnp.int32))
+        self.mt_self = [kv.truncate(np.int32(self.mt_steps))
                         for kv in self.mt_self]
 
     # ------------------------------------------------------------------
@@ -731,11 +788,11 @@ class StreamingSession:
         s = _bucket(len(tokens), self.e.mt_buckets)
         padded = np.full((1, s), PAD, np.int32)
         padded[0, : len(tokens)] = tokens
-        ids = self.e._synthesize(self.e.variables, jnp.asarray(padded),
-                                 self.enc_buf, jnp.asarray(self.enc_len))
+        ids = self.e._synthesize(self.e.variables, padded,
+                                 self.enc_buf, np.int32(self.enc_len))
         up = self.e.model.cfg.unit_decoder.ctc_upsample_rate
         valid = len(tokens) * up
-        ids = np.asarray(ids[0])[:valid]
+        ids = jax.device_get(ids[0])[:valid]
         units, _ = ctc_collapse(ids, blank=unit_blank, pad=PAD)
         return [u for u in units if u not in (0, EOS)]
 
@@ -752,15 +809,14 @@ class StreamingSession:
                                self.e.model.cfg.unit_decoder.ctc_upsample_rate,
                                self.e.unit_buckets[-1]), self.e.unit_buckets)
         max_frames = u_bucket * self.e.max_dur_per_unit
-        units, count, wav, n_samples, dur = self.e._emit(
-            self.e.variables, self.e.vocoder_variables, jnp.asarray(padded),
-            self.enc_buf, jnp.asarray(self.enc_len),
-            jnp.asarray(len(tokens), jnp.int32),
-            valid_tokens_cap=s, max_frames=max_frames)
+        units, count, wav, n_samples, dur = jax.device_get(self.e._emit(
+            self.e.variables, self.e.vocoder_variables, padded,
+            self.enc_buf, np.int32(self.enc_len), np.int32(len(tokens)),
+            valid_tokens_cap=s, max_frames=max_frames))
         count = int(count)
-        unit_ids = np.asarray(units)[:count].tolist()
+        unit_ids = units[:count].tolist()
         n = int(n_samples)
-        return unit_ids, np.asarray(wav[:n]), np.asarray(dur[:count])
+        return unit_ids, wav[:n], dur[:count]
 
     def emit_tail(self, n_prev_units: int
                   ) -> Tuple[List[int], np.ndarray, np.ndarray]:
@@ -777,15 +833,15 @@ class StreamingSession:
         u_bucket = _bucket(min(len(tokens) *
                                self.e.model.cfg.unit_decoder.ctc_upsample_rate,
                                self.e.unit_buckets[-1]), self.e.unit_buckets)
-        units, count, dur, tail, cur_len, ok = self.e._emit_tail(
-            self.e.variables, self.e.vocoder_variables, jnp.asarray(padded),
-            self.enc_buf, jnp.asarray(self.enc_len),
-            jnp.asarray(len(tokens), jnp.int32),
-            jnp.asarray(n_prev_units, jnp.int32),
-            valid_tokens_cap=s, unit_capacity=u_bucket,
-            window_frames=self.e.emit_window_frames,
-            ctx_frames=self.e.emit_ctx_frames,
-            tail_cap=self.e.emit_tail_cap)
+        units, count, dur, tail, cur_len, ok = jax.device_get(
+            self.e._emit_tail(
+                self.e.variables, self.e.vocoder_variables, padded,
+                self.enc_buf, np.int32(self.enc_len), np.int32(len(tokens)),
+                np.int32(n_prev_units),
+                valid_tokens_cap=s, unit_capacity=u_bucket,
+                window_frames=self.e.emit_window_frames,
+                ctx_frames=self.e.emit_ctx_frames,
+                tail_cap=self.e.emit_tail_cap))
         if not bool(ok):
             unit_ids, wav, dur_np = self.emit()
             new = len(unit_ids) - n_prev_units
@@ -795,8 +851,7 @@ class StreamingSession:
             return unit_ids, wav[len(wav) - cur:], dur_np
         count = int(count)
         n = int(cur_len)
-        return (np.asarray(units)[:count].tolist(), np.asarray(tail[:n]),
-                np.asarray(dur[:count]))
+        return units[:count].tolist(), tail[:n], dur[:count]
 
     def vocode(self, unit_codes: List[int]) -> Tuple[np.ndarray, np.ndarray]:
         """unit_codes: raw vocoder codes (0-based). Returns (wav, durations)."""
