@@ -27,6 +27,7 @@ from typing import Any, Dict, Optional
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from streamspeech_tpu.config import DecoderConfig, EncoderConfig
 from streamspeech_tpu.models.s2t import S2TConformerModel
@@ -144,3 +145,165 @@ def diseg_loss(out: Dict[str, jnp.ndarray], targets: jnp.ndarray,
 def hard_boundaries(seg_prob: jnp.ndarray, threshold: float = 0.5) -> jnp.ndarray:
     """Inference-time segmentation: frame t ends a segment iff p_t > threshold."""
     return seg_prob > threshold
+
+
+class DiSegWav2Vec2Model(nn.Module):
+    """DiSeg on a raw-audio wav2vec2/HuBERT backbone — the reference's
+    convtransformer_wav2vec_seg
+    (`researches/diseg/models/convtransformer_wav2vec_seg.py:54`): wav →
+    HubertModel features (×320 downsample) → proj → transformer text decoder;
+    segmentation head on the encoder states."""
+
+    decoder_cfg: DecoderConfig
+    w2v_embed_dim: int = 768
+    w2v_ffn_dim: int = 3072
+    w2v_heads: int = 12
+    w2v_layers: int = 12
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from streamspeech_tpu.models.hubert import HubertModel
+        from streamspeech_tpu.models.transformer import TransformerDecoder
+
+        self.w2v = HubertModel(self.w2v_embed_dim, self.w2v_ffn_dim,
+                               self.w2v_heads, self.w2v_layers,
+                               dtype=self.dtype, name="w2v")
+        self.proj = nn.Dense(self.decoder_cfg.embed_dim, dtype=self.dtype,
+                             name="proj")
+        self.decoder = TransformerDecoder(self.decoder_cfg, dtype=self.dtype,
+                                          name="decoder")
+        self.seg_head = nn.Dense(1, dtype=self.dtype, name="seg_head")
+
+    def __call__(self, wav, wav_lengths, prev_output_tokens,
+                 deterministic=True) -> Dict[str, jnp.ndarray]:
+        feats = self.w2v.extract_features(wav, output_layer=self.w2v_layers)
+        enc = self.proj(feats)
+        out_len = jnp.minimum(wav_lengths // 320, enc.shape[1])
+        enc_valid = lengths_to_mask(out_len, enc.shape[1])
+        logits, _ = self.decoder(prev_output_tokens, enc, enc_valid, None,
+                                 deterministic)
+        seg_logits = self.seg_head(enc)[..., 0]
+        seg_prob = jax.nn.sigmoid(seg_logits.astype(jnp.float32))
+        seg_prob = seg_prob * enc_valid.astype(seg_prob.dtype)
+        return {"logits": logits, "encoder_out": enc,
+                "encoder_valid": enc_valid, "encoder_lengths": out_len,
+                "seg_prob": seg_prob}
+
+
+from streamspeech_tpu.registry import AGENTS
+
+
+@AGENTS.register("diseg_s2tt")
+class DiSegAgent:
+    """Boundary-driven simultaneous S2T agent: translate one target token per
+    DETECTED segment (seg_prob > threshold), everything at finish — the
+    inference policy of `researches/diseg` (segment-synchronous read/write).
+    Re-encodes the (bucketed) prefix each policy call like the reference."""
+
+    source_type = "speech"
+    target_type = "text"
+
+    def __init__(self, model: DiSegModel, variables, tgt_dict,
+                 threshold: float = 0.5, max_len: int = 64, gcmvn=None):
+        from streamspeech_tpu.agents.base import AgentStates
+
+        self.model = model
+        self.variables = variables
+        self.tgt_dict = tgt_dict
+        self.threshold = threshold
+        self.max_len = max_len
+        self.gcmvn = gcmvn
+        self.states = AgentStates()
+
+        import functools
+
+        @functools.partial(jax.jit, static_argnames=())
+        def forward(variables, feats, n_frames, prev, thr):
+            out = model.apply(variables, feats, n_frames, prev,
+                              use_running_stats=True)
+            n_seg = jnp.sum((out["seg_prob"] > thr)[0].astype(jnp.int32))
+            last = out["logits"][0]
+            return n_seg, jnp.argmax(last, axis=-1)
+
+        self._forward = forward
+        self.reset()
+
+    def reset(self):
+        self.states.reset()
+        self.hyp: list = []
+        self.emitted = 0
+
+    @staticmethod
+    def _bucketed(arr, mult, pad_val=0.0):
+        import numpy as _np
+
+        n = max(len(arr), 1)
+        m = -(-n // mult) * mult
+        out = _np.full((m,) + _np.shape(arr)[1:], pad_val,
+                       _np.asarray(arr).dtype if len(arr) else _np.float32)
+        if len(arr):
+            out[:n] = arr
+        return out, n
+
+    def policy(self):
+        from streamspeech_tpu.agents.base import (ReadAction, TextSegment,
+                                                  WriteAction)
+        from streamspeech_tpu.ops.fbank import logmelfbank
+
+        finished = self.states.source_finished
+        samples = np.asarray(list(self.states.source), np.float32)
+        if samples.shape[0] < 400:
+            if not finished:
+                return ReadAction()
+            self.states.target_finished = True
+            return WriteAction(TextSegment(content="", finished=True),
+                               finished=True)
+        feats = np.asarray(logmelfbank(samples))
+        if self.gcmvn is not None:
+            feats = np.asarray(self.gcmvn(feats))
+        padded, n = self._bucketed(feats, 32)
+        # decode budget = number of detected segments (all at finish)
+        budget = self.max_len if finished else None
+        new_text = []
+        while True:
+            prev = [2] + self.hyp
+            pm = -(-len(prev) // 8) * 8
+            prev_arr = np.full((1, pm), 1, np.int32)
+            prev_arr[0, : len(prev)] = prev
+            n_seg, nxt_all = jax.device_get(self._forward(
+                self.variables, padded[None], np.asarray([n], np.int32),
+                prev_arr, np.float32(self.threshold)))
+            allowed = int(n_seg) if not finished else self.max_len
+            if len(self.hyp) >= allowed or len(self.hyp) >= self.max_len:
+                break
+            nxt = int(nxt_all[len(prev) - 1])
+            if nxt == 2:  # eos
+                break
+            self.hyp.append(nxt)
+            new_text.append(self.tgt_dict[nxt])
+            if not finished:
+                break  # one token per newly detected segment per call
+        if not new_text and not finished:
+            return ReadAction()
+        text = " ".join(new_text).replace("▁", " ").strip()
+        if finished:
+            self.states.target_finished = True
+        return WriteAction(TextSegment(content=text, finished=finished),
+                           finished=finished)
+
+    def push(self, segment):
+        self.states.update_source(segment)
+
+    def pop(self):
+        from streamspeech_tpu.agents.base import EmptySegment
+
+        action = self.policy()
+        if action.is_read():
+            return EmptySegment(finished=self.states.target_finished)
+        seg = action.content
+        self.states.update_target(seg)
+        return seg
+
+    def pushpop(self, segment):
+        self.push(segment)
+        return self.pop()

@@ -168,6 +168,77 @@ class Translatotron2Model(nn.Module):
         }
 
 
+    def generate_spec(self, src_tokens, src_lengths, prev_output_tokens_mt,
+                      max_frames: int = 256, stop_threshold: float = 0.5,
+                      chunk_size=None, conv_chunk_size=None):
+        """Offline spectrogram generation (the reference's Tacotron2-style
+        inference loop, `fairseq/fairseq/models/text_to_speech/tts_transformer.py`
+        decoder eval path): encode → MT features (teacher-forced tokens) →
+        synthesizer encoder → autoregressively decode mel frames until the
+        stop head fires. Returns (mel [B, max_frames, mel], n_frames [B]).
+
+        The AR loop is a lax.scan over a static frame budget: each step
+        re-runs the (short) decoder over the prefix — O(T²) like the
+        reference's loop, fine for offline eval; KV caches would drop it to
+        O(T) if this baseline ever needs serving."""
+        c = self.cfg
+        enc, enc_lengths = self.encoder(src_tokens, src_lengths, chunk_size,
+                                        conv_chunk_size, True, True)
+        enc_valid = lengths_to_mask(enc_lengths, enc.shape[1])
+        _, mt_feats = self.mt_decoder(prev_output_tokens_mt, enc, enc_valid,
+                                      None, True)
+        mt_valid = prev_output_tokens_mt != PAD
+        t2u = self.synthesizer_encoder(mt_feats, mt_valid, True)
+        b = src_tokens.shape[0]
+        mel_buf = jnp.zeros((b, max_frames + 1, self.mel_dim), self.dtype)
+
+        def body(carry, i):
+            mel_buf, stopped, n = carry
+            feats, eos_logits = self.spec_decoder(mel_buf[:, :max_frames],
+                                                  t2u, mt_valid, True)
+            frame = jnp.take_along_axis(
+                feats, i[None, None, None].repeat(b, 0), axis=1)[:, 0]
+            stop = jax.nn.sigmoid(jnp.take_along_axis(
+                eos_logits, i[None, None].repeat(b, 0), axis=1))[:, 0] \
+                > stop_threshold
+            mel_buf = jax.lax.dynamic_update_slice(
+                mel_buf, frame[:, None], (0, i + 1, 0))
+            n = n + (~stopped).astype(jnp.int32)
+            stopped = stopped | stop
+            return (mel_buf, stopped, n), None
+
+        (mel_buf, stopped, n), _ = jax.lax.scan(
+            body, (mel_buf, jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32)),
+            jnp.arange(max_frames))
+        mel = self.postnet(mel_buf[:, 1:], True)
+        return mel, n
+
+
+def synthesize_translatotron2(model, variables, src_tokens, src_lengths,
+                              prev_output_tokens_mt, max_frames: int = 256):
+    """Full offline T2 eval path: spectrogram generation + Griffin-Lim
+    waveform synthesis. Returns (wav [B, samples], n_samples [B])."""
+    import numpy as np
+
+    from streamspeech_tpu.ops.griffin_lim import griffin_lim_from_logmel
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("max_frames",))
+    def gen(variables, src, lens, mt, max_frames):
+        return model.apply(variables, src, lens, mt, max_frames=max_frames,
+                           method=Translatotron2Model.generate_spec)
+
+    mel, n = gen(variables, src_tokens, src_lengths, prev_output_tokens_mt,
+                 max_frames=max_frames)
+    mel, n = jax.device_get((mel, n))
+    wavs = []
+    for i in range(mel.shape[0]):
+        wavs.append(np.asarray(griffin_lim_from_logmel(mel[i])))
+    n_samples = n * 160  # 10 ms hop
+    return np.stack(wavs), n_samples
+
+
 def translatotron2_loss(out, batch, label_smoothing: float = 0.1
                         ) -> Dict[str, jnp.ndarray]:
     """L1+L2 spectrogram losses (before+after postnet) + stop BCE + MT CE."""
