@@ -1,67 +1,94 @@
-"""Benchmark: full StreamSpeech two-pass forward on the real chip.
+"""Driver benchmark: ONE JSON line with the end-to-end streaming pipeline RTF
+as the headline metric, plus the other north-star numbers in "extras".
 
-Metric: real-time factor (seconds of audio processed per wall-clock second) of the
-jitted full-model forward (chunk-8 streaming masks, teacher-forced MT length 24,
-×25 NAR unit upsample) on a 10.24 s utterance, batch 1 — the configuration the
-reference's simultaneous agent runs per chunk. Reference baseline: the example-run
-RTF of 1.326 on GPU (`/root/reference/README.md:207-208`, BASELINE.md), i.e. the
-reference processes audio 1/1.326 = 0.75x real time; vs_baseline is
-ours_rtf / (1 / 1.326).
+Headline: seconds of audio processed per wall-clock second by the FULL
+streaming S2ST pipeline (fbank -> incremental conformer encode -> CTC policy
+-> cached MT decode -> fused NAR unit synthesis + HiFi-GAN, 320 ms chunks)
+driven through the evaluator — directly comparable to the reference's example
+run, which reports RTF 1.326 on GPU (`/root/reference/README.md:207-208`,
+BASELINE.md), i.e. 1/1.326 = 0.754x real time. vs_baseline = ours / 0.754.
+
+extras:
+  forward_xrealtime    jitted full two-pass forward on a 10.24 s utterance
+  forward_ms           (the per-chunk compute bound of the agent)
+  train_step_ms        full train step fwd+bwd+Adam, B=8 x 10.24 s, Pallas
+  train_audio_s_per_s  training throughput (reference recipe: ~440 s-audio
+                       per update on 4 GPUs)
+  train_mfu            XLA-counted matmul FLOPs / step time / chip bf16 peak
+
+Stages are individually guarded: a failing extra degrades to omission, never
+to a missing headline line. STREAMSPEECH_BENCH_FAST=1 skips the slow stages
+(prints forward-only, for smoke-testing the script itself).
 """
 
 import json
-import time
-
-import jax
-import jax.numpy as jnp
+import os
+import sys
+import traceback
 
 
 def main():
-    from streamspeech_tpu.models.streamspeech import StreamSpeechModel
-    from streamspeech_tpu.train.synthetic import full_config
+    fast = bool(os.environ.get("STREAMSPEECH_BENCH_FAST"))
+    if os.environ.get("STREAMSPEECH_BENCH_CPU"):
+        # this environment's sitecustomize force-selects the remote-TPU
+        # platform; env vars are read too late (CLAUDE.md)
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    extras = {}
 
-    cfg = full_config()
-    model = StreamSpeechModel(cfg)
+    from streamspeech_tpu import benchmarks as bm
 
-    b, frames, mt_len = 1, 1024, 24  # 1024 fbank frames = 10.24 s audio
-    audio_seconds = frames * 0.01
-    rng = jax.random.PRNGKey(0)
-    src = jax.random.normal(rng, (b, frames, 80), jnp.float32)
-    lens = jnp.full((b,), frames, jnp.int32)
-    mt = jnp.full((b, mt_len), 4, jnp.int32)
-    # init under jit: unjitted init dispatches hundreds of tiny ops, which is
-    # minutes over this environment's remote-TPU tunnel
-    init = jax.jit(lambda r: model.init({"params": r}, src, lens, mt, n2=1,
-                                        use_running_stats=False))
-    variables = init(rng)
-    variables = {"params": variables["params"],
-                 "batch_stats": variables.get("batch_stats", {})}
+    print("bench: building full model...", file=sys.stderr, flush=True)
+    model, variables = bm.build_full_model()
 
-    @jax.jit
-    def fwd(v, src, lens, mt):
-        out = model.apply(v, src, lens, mt, chunk_size=8, conv_chunk_size=8, n2=1)
-        return out["unit_logits"], out["asr_logits"]
+    print("bench: forward...", file=sys.stderr, flush=True)
+    fwd = bm.measure_forward(model, variables)
+    extras.update({k: round(v, 3) for k, v in fwd.items()})
 
-    # warmup/compile
-    jax.block_until_ready(fwd(variables, src, lens, mt))
-    n_iter = 20
-    times = []
-    for _ in range(3):  # median of 3 trials for stability
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = fwd(variables, src, lens, mt)
-        jax.block_until_ready(out)
-        times.append((time.perf_counter() - t0) / n_iter)
-    dt = sorted(times)[1]
+    if not fast:
+        try:
+            print("bench: train step...", file=sys.stderr, flush=True)
+            tr = bm.measure_train_step()
+            extras.update({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in tr.items()})
+        except Exception:
+            traceback.print_exc()
 
-    rtf = audio_seconds / dt  # x real time
-    baseline_rtf = 1.0 / 1.326  # reference example-run: RTF 1.326 (time/audio)
-    print(json.dumps({
-        "metric": "s2st_forward_xrealtime",
-        "value": round(rtf, 3),
-        "unit": "x_realtime_10.24s_utt",
-        "vs_baseline": round(rtf / baseline_rtf, 3),
-    }))
+    pipeline_x = None
+    if not fast:
+        try:
+            print("bench: streaming pipeline...", file=sys.stderr, flush=True)
+            # single mt/unit bucket keeps the warmed program count (and the
+            # remote-helper compile time) bounded; 3 x 8 s covers ~75 chunks
+            st = bm.measure_pipeline_rtf(
+                model, variables, utterances=3, seconds=8.0, segment_ms=320,
+                mt_buckets=(64,), unit_buckets=(256,), verbose=True)
+            pipeline_x = st["pipeline_xrealtime"]
+            extras["pipeline_rtf"] = round(st["pipeline_rtf"], 4)
+            extras["pipeline_n_writes"] = st["n_writes"]
+            extras["pipeline_n_chunks"] = st["n_chunks"]
+            extras["warmup_s"] = round(st["warmup_s"], 1)
+        except Exception:
+            traceback.print_exc()
+
+    baseline_xrt = 1.0 / 1.326  # reference example run: RTF 1.326 (time/audio)
+    if pipeline_x is not None:
+        line = {
+            "metric": "s2st_pipeline_xrealtime",
+            "value": round(pipeline_x, 3),
+            "unit": "x_realtime_320ms_chunks",
+            "vs_baseline": round(pipeline_x / baseline_xrt, 3),
+            "extras": extras,
+        }
+    else:  # degraded mode: headline falls back to the forward RTF
+        line = {
+            "metric": "s2st_forward_xrealtime",
+            "value": round(fwd["forward_xrealtime"], 3),
+            "unit": "x_realtime_10.24s_utt",
+            "vs_baseline": round(fwd["forward_xrealtime"] / baseline_xrt, 3),
+            "extras": extras,
+        }
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,283 @@
+"""Driver-facing benchmark measurements (north stars from BASELINE.md).
+
+Three measurements, shared by ``bench.py`` (the driver's single-JSON-line
+entry point) and ``scripts/bench_streaming.py``:
+
+- full-model two-pass forward real-time factor — the per-chunk compute the
+  simultaneous agent pays (reference example run: GPU RTF 1.326, i.e.
+  0.75x real time, `/root/reference/README.md:207-208`);
+- full train-step throughput in seconds-of-audio per second + MFU (the
+  reference recipe covers ~440 s-audio/update on 4 GPUs:
+  22k tokens x update-freq 2, `train.simul-s2st.sh`);
+- end-to-end streaming pipeline RTF: fbank -> incremental encode -> CTC
+  policy -> cached MT decode -> fused unit synthesis + HiFi-GAN through the
+  evaluator, 320 ms chunks — the number directly comparable to the
+  reference's published RTF.
+
+All timing follows the tunnel RPC discipline (CLAUDE.md): one
+block_until_ready per trial, no per-output fetches inside the loop.
+"""
+
+from __future__ import annotations
+
+import math
+import time
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+# bf16 peak matmul throughput per chip, by jax device_kind substring.
+_PEAK_FLOPS = (
+    ("v6 lite", 918e12),  # Trillium / v6e
+    ("v6", 918e12),
+    ("v5 lite", 197e12),  # v5e
+    ("v5p", 459e12),
+    ("v5", 459e12),
+    ("v4", 275e12),
+    ("v3", 123e12),
+)
+
+
+def chip_peak_flops() -> Optional[float]:
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peak in _PEAK_FLOPS:
+        if key in kind:
+            return peak
+    return None
+
+
+def build_full_model(seed: int = 0):
+    """Init the flagship simul-s2st model under jit (unjitted init dispatches
+    hundreds of tiny ops — minutes over the remote tunnel)."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+    from streamspeech_tpu.train.synthetic import full_config
+
+    cfg = full_config()
+    model = StreamSpeechModel(cfg)
+    src = jnp.zeros((1, 64, 80))
+    init = jax.jit(lambda r: model.init(
+        {"params": r}, src, jnp.full((1,), 64, jnp.int32),
+        jnp.full((1, 4), 4, jnp.int32), n2=1, use_running_stats=False))
+    variables = jax.block_until_ready(init(jax.random.PRNGKey(seed)))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    return model, variables
+
+
+def _median_time(fn, n_iter: int, trials: int = 3) -> float:
+    import jax
+
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n_iter):
+            out = fn()
+        jax.block_until_ready(out)
+        times.append((time.perf_counter() - t0) / n_iter)
+    return sorted(times)[trials // 2]
+
+
+def measure_forward(model, variables, frames: int = 1024, mt_len: int = 24,
+                    n_iter: int = 20) -> Dict[str, float]:
+    """Jitted full two-pass forward (chunk-8 streaming masks, teacher-forced
+    MT, x25 NAR unit upsample) on a ``frames``-frame utterance, batch 1."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = jax.random.PRNGKey(0)
+    src = jax.random.normal(rng, (1, frames, 80), jnp.float32)
+    lens = jnp.full((1,), frames, jnp.int32)
+    mt = jnp.full((1, mt_len), 4, jnp.int32)
+
+    @jax.jit
+    def fwd(v, src, lens, mt):
+        out = model.apply(v, src, lens, mt, chunk_size=8, conv_chunk_size=8,
+                          n2=1)
+        return out["unit_logits"], out["asr_logits"]
+
+    jax.block_until_ready(fwd(variables, src, lens, mt))
+    dt = _median_time(lambda: fwd(variables, src, lens, mt), n_iter)
+    audio_seconds = frames * 0.01
+    return {"forward_ms": dt * 1e3, "forward_xrealtime": audio_seconds / dt}
+
+
+def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
+                       units_len: int = 256, text_len: int = 32,
+                       n_iter: int = 10, pallas: bool = True,
+                       ) -> Dict[str, float]:
+    """Full-model train step (fwd + bwd + Adam) throughput and MFU.
+
+    MFU uses XLA's own cost analysis for the compiled step (matmul FLOPs)
+    over the chip's bf16 peak; falls back to None when the backend doesn't
+    expose cost analysis (e.g. some remote backends).
+    """
+    import os
+
+    import jax
+
+    if pallas:
+        os.environ["STREAMSPEECH_PALLAS_TRAIN"] = "1"
+    try:
+        from streamspeech_tpu.config import OptimizationConfig
+        from streamspeech_tpu.parallel.mesh import make_mesh
+        from streamspeech_tpu.train.synthetic import full_config, synthetic_batch
+        from streamspeech_tpu.train.trainer import (
+            create_sharded_state,
+            make_optimizer,
+            make_train_step,
+        )
+
+        cfg = full_config()
+        model, variables = build_full_model()
+        tx = make_optimizer(OptimizationConfig(
+            update_freq=1, warmup_updates=10000, lr=1e-3, clip_norm=10.0))
+        step = make_train_step(model, tx,
+                               unit_blank=cfg.unit_decoder.vocab_size - 1)
+        mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+        state = create_sharded_state(variables, tx, mesh)
+        b = synthetic_batch(cfg, batch=batch, frames=frames, mt_len=mt_len,
+                            units_len=units_len, text_len=text_len)
+        b = dict(b)
+
+        # the step donates state; time by chaining states
+        rng = jax.random.PRNGKey(1)
+        state, _ = step(state, b, rng, chunk_size=8, conv_chunk_size=8)
+        jax.block_until_ready(state.params)
+
+        flops = None
+        try:
+            low = step.lower(state, b, rng, chunk_size=8, conv_chunk_size=8)
+            cost = low.cost_analysis()
+            if cost is None:
+                cost = low.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            flops = float(cost.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+
+        t0 = time.perf_counter()
+        for i in range(n_iter):
+            state, metrics = step(state, b, jax.random.PRNGKey(i),
+                                  chunk_size=8, conv_chunk_size=8)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / n_iter
+
+        out = {
+            "train_step_ms": dt * 1e3,
+            "train_audio_s_per_s": batch * frames * 0.01 / dt,
+            "train_loss_finite": bool(np.isfinite(float(
+                metrics["loss_mean"]))),
+        }
+        peak = chip_peak_flops()
+        if flops and peak:
+            out["train_mfu"] = flops / dt / peak
+            out["train_step_tflops"] = flops / 1e12
+        return out
+    finally:
+        if pallas:
+            os.environ.pop("STREAMSPEECH_PALLAS_TRAIN", None)
+
+
+def doctor_streaming_params(variables):
+    """Bias random weights so the CTC policy actually WRITEs — otherwise a
+    streaming benchmark measures only the all-READ path (vacuous latency)."""
+    p = variables["params"]
+    for head in ("source_unigram_head", "ctc_target_unigram_head"):
+        b = p[head]["proj"]["bias"]
+        p[head]["proj"]["bias"] = b.at[0].add(-8.0)
+    p["mt_decoder"]["embed_tokens"] = \
+        p["mt_decoder"]["embed_tokens"].at[:4].set(0.0)
+    p["unit_decoder"]["embed_tokens"] = \
+        p["unit_decoder"]["embed_tokens"].at[:4].set(0.0).at[-1].set(0.0)
+    return variables
+
+
+def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
+                         seconds: float = 10.0, segment_ms: int = 320,
+                         mt_buckets: Tuple[int, ...] = (16, 32, 64, 128),
+                         unit_buckets: Tuple[int, ...] = (64, 128, 256, 512),
+                         max_enc_frames: int = 512,
+                         verbose: bool = False) -> Dict[str, float]:
+    """End-to-end streaming S2ST pipeline RTF through the evaluator."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamspeech_tpu.agents.streamspeech import (
+        StreamSpeechAgentConfig,
+        StreamSpeechS2STAgent,
+    )
+    from streamspeech_tpu.dictionary import Dictionary
+    from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator
+    from streamspeech_tpu.models.vocoder import CodeGenerator, DEFAULT_VOCODER_CFG
+    from streamspeech_tpu.runtime.session import StreamSpeechEngine
+
+    if model is None:
+        model, variables = build_full_model()
+    variables = doctor_streaming_params(variables)
+
+    voc = CodeGenerator(DEFAULT_VOCODER_CFG)
+    vinit = jax.jit(lambda r: voc.init(r, jnp.zeros((1, 8), jnp.int32),
+                                       max_frames=32))
+    voc_vars = jax.block_until_ready(vinit(jax.random.PRNGKey(1)))
+
+    engine = StreamSpeechEngine(model, variables, voc, voc_vars,
+                                max_enc_frames=max_enc_frames,
+                                mt_buckets=mt_buckets,
+                                unit_buckets=unit_buckets)
+    src_dict = Dictionary()
+    for i in range(5996):
+        src_dict.add_symbol(f"▁w{i}")
+    unit_dict = Dictionary.units(1000)
+    unit_dict.add_blank()
+    agent = StreamSpeechS2STAgent(
+        engine, StreamSpeechAgentConfig(source_segment_size=segment_ms),
+        src_dict, src_dict, unit_dict)
+
+    t0 = time.perf_counter()
+    n_prog = engine.warmup(chunk=agent.cfg.chunk_size,
+                           conv_chunk=agent.cfg.conv_chunk_size,
+                           whole_word=agent.cfg.whole_word)
+    warmup_s = time.perf_counter() - t0
+    if verbose:
+        print(f"engine.warmup: {n_prog} programs in {warmup_s:.1f}s",
+              flush=True)
+
+    rng = np.random.RandomState(0)
+    n_samples = int(seconds * 16000)
+    sources = [list(rng.uniform(-0.3, 0.3, n_samples))
+               for _ in range(utterances)]
+    refs = ["ref"] * utterances
+
+    ev0 = SentenceLevelEvaluator(agent, source_segment_size=segment_ms,
+                                 quality_metrics=[])
+    t0 = time.perf_counter()
+    ev0(sources[:1], refs[:1])
+    if verbose:
+        print(f"warmup utterance: {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
+    ev = SentenceLevelEvaluator(agent, source_segment_size=segment_ms,
+                                quality_metrics=[])
+    t0 = time.perf_counter()
+    scores = ev(sources, refs)
+    wall = time.perf_counter() - t0
+    audio = utterances * seconds
+    n_writes = sum(len(ins.delays) for ins in ev.instances.values())
+    return {
+        "pipeline_rtf": wall / audio,
+        "pipeline_xrealtime": audio / wall,
+        "n_writes": n_writes,
+        "n_chunks": int(audio * 1000 / segment_ms),
+        "warmup_programs": n_prog,
+        "warmup_s": warmup_s,
+        "scores": {k: scores[k] for k in
+                   ("AL", "AL_CA", "RTF", "RTF_CA", "NumChunks",
+                    "StartOffset") if k in scores},
+    }

@@ -54,6 +54,25 @@ async function up(){
 </script></body></html>"""
 
 
+def stitch_on_source_timeline(pieces: List[np.ndarray], delays_ms: List[int],
+                              sample_rate: int = 16000) -> np.ndarray:
+    """Place each emitted piece at max(previous end, its source delay),
+    inserting silence at discontinuities — the evaluator's stitching
+    (`eval/instance.py` SpeechOutputInstance.summarize, reference
+    `SimulEval/simuleval/evaluator/instance.py:344-371`). Plain
+    concatenation plays laggy streams too early."""
+    out: List[np.ndarray] = []
+    prev_end = float(delays_ms[0]) if delays_ms else 0.0
+    for piece, delay in zip(pieces, delays_ms):
+        start = max(prev_end, float(delay))
+        gap = start - prev_end
+        if gap > 0:
+            out.append(np.zeros(int(sample_rate * gap / 1000), np.float32))
+        out.append(piece)
+        prev_end = start + 1000.0 * len(piece) / sample_rate
+    return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+
 class DemoState:
     def __init__(self):
         self.reset()
@@ -86,6 +105,7 @@ class DemoServer:
         self.agent.reset()
         seg_len = int(16000 * segment_ms / 1000)
         pieces: List[np.ndarray] = []
+        delays: List[int] = []  # source ms at which each piece was emitted
         for start in range(0, len(samples), seg_len):
             chunk = samples[start: start + seg_len]
             finished = start + seg_len >= len(samples)
@@ -100,7 +120,8 @@ class DemoServer:
                                    getattr(self.agent, "emitted_text", ""))
                 if out.data_type == "speech" and not out.is_empty and out.content:
                     pieces.append(np.asarray(out.content, np.float32))
-                    st.out_wav = np.concatenate(pieces) if pieces else st.out_wav
+                    delays.append(t)
+                    st.out_wav = stitch_on_source_timeline(pieces, delays)
             if getattr(out, "finished", False) and finished:
                 break
         with self._lock:

@@ -203,9 +203,36 @@ def cmd_make_manifest(args):
     print(f"wrote {len(rows) - 1} rows to {args.output}")
 
 
+def cmd_spm_train(args):
+    """Train an SPM unigram vocab — the reference's
+    ``spm_train --model_type unigram --vocab_size N`` preprocess stage
+    (`preprocess_scripts/`; output layout
+    ``configs/*/{src,tgt}_unigram6000/spm_unigram_*.{model,txt}``)."""
+    from streamspeech_tpu.tokenizer import train_unigram
+
+    sentences = []
+    for path in args.input:
+        sentences += [ln for ln in Path(path).read_text().splitlines() if ln]
+    spm = train_unigram(sentences, vocab_size=args.vocab_size,
+                        max_piece_len=args.max_piece_len)
+    out = Path(args.model_prefix)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    spm.save(str(out) + ".model")
+    spm.save_vocab(str(out) + ".txt")
+    print(f"trained {len(spm.pieces)} pieces from {len(sentences)} sentences "
+          f"→ {out}.model")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("spm-train")
+    s.add_argument("--input", nargs="+", required=True)
+    s.add_argument("--model-prefix", required=True)
+    s.add_argument("--vocab-size", type=int, default=6000)
+    s.add_argument("--max-piece-len", type=int, default=16)
+    s.set_defaults(fn=cmd_spm_train)
 
     s = sub.add_parser("extract-fbank")
     s.add_argument("--wav-list", required=True)

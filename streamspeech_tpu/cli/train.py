@@ -71,6 +71,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--keep-last", type=int, default=10)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--validate-interval-updates", type=int, default=1000)
+    p.add_argument("--max-valid-batches", type=int, default=50,
+                   help="cap on scored validation batches (0 = score all)")
     # streaming-mask training (train.simul-s2st.sh)
     p.add_argument("--k1", type=int, default=0)
     p.add_argument("--n1", type=int, default=1)
@@ -215,11 +217,16 @@ def main(argv=None):
         if args.synthetic:
             batches = [synthetic_batch(model_cfg, batch=4, frames=64, seed=999)]
         elif valid_ds is not None:
+            all_idx = valid_ds.batches(args.max_tokens, args.max_sentences)
+            cap = args.max_valid_batches
+            if cap and len(all_idx) > cap:
+                progress.log({"event": "valid_truncated", "scored": cap,
+                              "total": len(all_idx)}, tag="setup")
+                all_idx = all_idx[:cap]
             batches = [
                 {k: jnp.asarray(v) for k, v in valid_ds.collate(idx).items()
                  if k != "id"}
-                for idx in valid_ds.batches(args.max_tokens,
-                                            args.max_sentences)[:50]]
+                for idx in all_idx]
         else:
             return None
         losses = []

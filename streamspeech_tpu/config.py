@@ -37,7 +37,7 @@ class EncoderConfig:
     layers: int = 16
     attention_heads: int = 4
     depthwise_conv_kernel_size: int = 31
-    pos_enc_type: str = "rel_pos"  # "rel_pos" | "abs"
+    pos_enc_type: str = "rel_pos"  # "rel_pos" | "rope" | "abs" (conformer_layer.py:207-227)
     attn_type: str = "espnet"
     max_source_positions: int = 6000
     dropout: float = 0.1

@@ -40,6 +40,7 @@ from streamspeech_tpu.models.layers import (
     KVCache,
     MultiHeadAttention,
     RelPosMultiHeadAttention,
+    RotaryMultiHeadAttention,
 )
 
 
@@ -142,6 +143,11 @@ class ConformerLayer(nn.Module):
             self.self_attn = RelPosMultiHeadAttention(
                 c.embed_dim, c.attention_heads, c.dropout, dtype=self.dtype,
                 name="self_attn")
+        elif c.pos_enc_type == "rope":
+            # `chunk_unity/modules/conformer_layer.py:213-219`
+            self.self_attn = RotaryMultiHeadAttention(
+                c.embed_dim, c.attention_heads, c.dropout, dtype=self.dtype,
+                name="self_attn")
         else:
             self.self_attn = MultiHeadAttention(
                 c.embed_dim, c.attention_heads, c.dropout, dtype=self.dtype,
@@ -156,7 +162,8 @@ class ConformerLayer(nn.Module):
 
     def _attend(self, x, pos_emb, allowed, key_valid, cache, q_offset,
                 deterministic):
-        if isinstance(self.self_attn, RelPosMultiHeadAttention):
+        if isinstance(self.self_attn,
+                      (RelPosMultiHeadAttention, RotaryMultiHeadAttention)):
             return self.self_attn(x, pos_emb, allowed, key_valid, cache,
                                   q_offset, deterministic)
         return self.self_attn(x, None, allowed, key_valid, cache, deterministic)

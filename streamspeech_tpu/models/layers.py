@@ -358,6 +358,103 @@ class RelPosMultiHeadAttention(nn.Module):
         return (out, cache) if cache is not None else (out, None)
 
 
+def _rope_cos_sin(positions: jnp.ndarray, dim: int, base: float = 10000.0
+                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """cos/sin tables for GPT-NeoX-style rotary embedding over the FULL head
+    dim (reference rotary_ndims = d_k,
+    `researches/uni_unity/modules/espnet_multihead_attention.py:225`).
+    positions [...,] int/float → cos, sin [..., dim] with the duplicated
+    half-frequency layout of `rotary_positional_embedding.py:32`
+    (emb = cat(freqs, freqs))."""
+    inv_freq = 1.0 / (base ** (jnp.arange(0, dim, 2, dtype=jnp.float32) / dim))
+    freqs = positions.astype(jnp.float32)[..., None] * inv_freq
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray
+                ) -> jnp.ndarray:
+    """x [..., D] with cos/sin broadcastable to x; rotate_half convention
+    (`fairseq/fairseq/modules/rotary_positional_embedding.py:38-50`)."""
+    d2 = x.shape[-1] // 2
+    rotated = jnp.concatenate([-x[..., d2:], x[..., :d2]], axis=-1)
+    return (x * cos + rotated * sin).astype(x.dtype)
+
+
+class RotaryMultiHeadAttention(nn.Module):
+    """espnet RotaryPositionMultiHeadedAttention
+    (`researches/uni_unity/modules/espnet_multihead_attention.py:212-276`):
+    abs-position MHA where q/k are rotated per their absolute positions
+    before the dot product; full-head-dim rotation, base 10000.
+
+    Reference quirk matched exactly: rotation is applied to the RAW INPUT
+    viewed as (.., H, Dh) BEFORE the q/k projections (`:246-263` — query/key
+    are rotated, then ``forward_qkv`` projects), and v comes from the
+    unrotated input. Incremental use stays exact for any chunking: the
+    rotated-input keys depend only on their own ABSOLUTE position, so they
+    cache cleanly (the reference only runs this offline, offset 0)."""
+
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    rope_base: float = 10000.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.embed_dim
+        self.q_proj = nn.Dense(d, dtype=self.dtype, name="q_proj")
+        self.k_proj = nn.Dense(d, dtype=self.dtype, name="k_proj")
+        self.v_proj = nn.Dense(d, dtype=self.dtype, name="v_proj")
+        self.out_proj = nn.Dense(d, dtype=self.dtype, name="out_proj")
+        self.dropout_module = nn.Dropout(self.dropout)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,                   # [B, S, C] queries (and new keys)
+        pos_emb: Optional[jnp.ndarray] = None,  # unused (rope needs no table)
+        allowed: Optional[jnp.ndarray] = None,
+        key_valid: Optional[jnp.ndarray] = None,
+        cache: Optional[KVCache] = None,
+        q_offset=0,
+        deterministic: bool = True,
+    ):
+        h = self.num_heads
+        dh = self.embed_dim // h
+        scale = dh ** -0.5
+        b, s, _ = x.shape
+
+        # absolute positions of the new queries/keys: the pre-append cache
+        # write index when caching (queries ARE the new keys), else q_offset
+        if cache is not None:
+            base = (cache.index if cache.index.ndim == 0
+                    else cache.index[:, None])  # [] or [B,1]
+        else:
+            base = q_offset
+        new_pos = base + jnp.arange(s, dtype=jnp.int32)
+        cos, sin = _rope_cos_sin(new_pos, dh, self.rope_base)
+        # broadcast over heads: [.., S, 1, D]
+        cos, sin = cos[..., :, None, :], sin[..., :, None, :]
+        if cos.ndim == 3:  # unbatched positions
+            cos, sin = cos[None], sin[None]
+        # reference order: rotate the raw input per-head, THEN project q/k
+        x_rot = _apply_rope(x.reshape(b, s, h, dh), cos, sin) \
+            .reshape(b, s, self.embed_dim)
+        q = self.q_proj(x_rot).reshape(b, s, h, dh)
+        k_new = self.k_proj(x_rot).reshape(b, s, h, dh)
+        v_new = self.v_proj(x).reshape(b, s, h, dh)
+
+        if cache is not None:
+            cache, k, v, valid = _append_kv(cache, k_new, v_new)
+            key_valid = valid if key_valid is None else key_valid
+        else:
+            k, v = k_new, v_new
+
+        bias = mask_to_bias(allowed, key_valid)
+        out = _attend(q, k, v, bias, scale, self.dropout_module, deterministic)
+        out = self.out_proj(out.reshape(b, s, self.embed_dim))
+        return (out, cache) if cache is not None else (out, None)
+
+
 class FeedForward(nn.Module):
     """Conformer macaron FFN: LN → W1 → swish → drop → W2 → drop
     (`conformer_layer.py:121-161`)."""

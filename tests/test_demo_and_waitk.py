@@ -80,3 +80,26 @@ def test_demo_server_routes(stack):  # noqa: F811
         assert wav_bytes[:4] == b"RIFF"
     finally:
         httpd.shutdown()
+
+
+def test_demo_stitch_inserts_silence_at_gaps():
+    """Demo playback must match the evaluator's source-timeline stitching
+    (`eval/instance.py` summarize): a piece emitted at delay t starts at
+    max(prev_end, t), with zeros filling the gap."""
+    import numpy as np
+
+    from streamspeech_tpu.cli.demo import stitch_on_source_timeline
+
+    sr = 16000
+    a = np.full(int(0.1 * sr), 0.5, np.float32)   # 100 ms at t=320
+    b = np.full(int(0.1 * sr), -0.5, np.float32)  # 100 ms at t=960
+    out = stitch_on_source_timeline([a, b], [320, 960], sr)
+    # piece a spans [320, 420) ms; gap [420, 960) is silence; b at 960 ms
+    assert len(out) == int(sr * (960 + 100 - 320) / 1000)
+    gap = out[int(0.1 * sr): int((960 - 320) / 1000 * sr)]
+    assert np.all(gap == 0.0) and len(gap) > 0
+    assert out[0] == 0.5 and out[-1] == -0.5
+
+    # contiguous writes (delay earlier than prev end) concatenate directly
+    out2 = stitch_on_source_timeline([a, b], [320, 330], sr)
+    assert np.array_equal(out2, np.concatenate([a, b]))

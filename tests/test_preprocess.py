@@ -57,3 +57,46 @@ def test_preprocess_pipeline(tmp_path):
              str(tmp_path / "train.tsv")])
     rows = (tmp_path / "train.tsv").read_text().splitlines()
     assert rows[0].startswith("id\t") and len(rows) == 4
+
+
+def test_spm_train_unigram(tmp_path):
+    """SPM unigram training (`preprocess_scripts/` spm_train stage): trained
+    vocab respects size, round-trips text, and the saved binary .model loads
+    back identically through the protobuf parser."""
+    from streamspeech_tpu.tokenizer import SentencePieceUnigram, train_unigram
+
+    corpus = ["the cat sat on the mat", "the dog sat on the log",
+              "a cat and a dog played", "the mat and the log moved",
+              "dogs chase cats on mats"] * 4
+    spm = train_unigram(corpus, vocab_size=48, max_piece_len=6)
+    assert len(spm.pieces) <= 48
+    assert spm.pieces[0][0] == "<unk>" and spm.pieces[0][2] == 2  # UNKNOWN
+    assert spm.pieces[1][0] == "<s>" and spm.pieces[2][0] == "</s>"
+    # full char coverage: every training sentence must round-trip exactly
+    for s in corpus[:5]:
+        assert spm.decode_pieces(spm.encode_as_pieces(s)) == s
+    # encode() returns in-vocab ids
+    ids = spm.encode("the cat sat")
+    assert ids and all(0 <= i < len(spm.pieces) for i in ids)
+    # multi-char merges were actually learned (not a char-level fallback)
+    assert any(len(p) > 2 for p, _, t in spm.pieces if t == 1)
+
+    # binary round-trip through the reference wire format
+    spm.save(str(tmp_path / "spm.model"))
+    spm2 = SentencePieceUnigram.load(str(tmp_path / "spm.model"))
+    assert [p for p, _, _ in spm2.pieces] == [p for p, _, _ in spm.pieces]
+    assert spm2.encode_as_pieces("the cat sat") == spm.encode_as_pieces("the cat sat")
+
+
+def test_spm_train_cli(tmp_path):
+    corpus = tmp_path / "text.txt"
+    corpus.write_text("\n".join(["ab ab ba", "ba ab ab", "ab ba ba"] * 3))
+    pp_main(["spm-train", "--input", str(corpus),
+             "--model-prefix", str(tmp_path / "spm_unigram_16"),
+             "--vocab-size", "16", "--max-piece-len", "4"])
+    assert (tmp_path / "spm_unigram_16.model").exists()
+    vocab = (tmp_path / "spm_unigram_16.txt").read_text().splitlines()
+    assert vocab[0].split("\t")[0] == "<unk>"
+    from streamspeech_tpu.tokenizer import SentencePieceUnigram
+    spm = SentencePieceUnigram.load(str(tmp_path / "spm_unigram_16.model"))
+    assert spm.decode_pieces(spm.encode_as_pieces("ab ba")) == "ab ba"

@@ -711,3 +711,82 @@ def test_vocoder_import_parity(tmp_path):
     assert int(n_samples[0]) == wav_ref.shape[-1]
     np.testing.assert_allclose(np.asarray(wav)[0, :int(n_samples[0])],
                                wav_ref, atol=5e-4)
+
+
+# ---------------------------------------------------------------------------
+# rotary attention (uni_unity espnet RotaryPositionMultiHeadedAttention)
+# ---------------------------------------------------------------------------
+
+
+def test_rotary_attention_parity():
+    """JAX RotaryMultiHeadAttention vs the reference torch module
+    (`researches/uni_unity/modules/espnet_multihead_attention.py:212-276`,
+    rotary table from `fairseq/fairseq/modules/rotary_positional_embedding.py`),
+    shared weights, with and without key padding."""
+    from streamspeech_tpu.models.layers import RotaryMultiHeadAttention
+
+    d, h, t, b = 32, 4, 24, 2
+    attn = RotaryMultiHeadAttention(d, h, 0.0)
+    x = np.random.RandomState(3).randn(b, t, d).astype(np.float32)
+    variables = attn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+
+    ref = R.RotaryPositionMultiHeadedAttention(d, h, dropout=0.0,
+                                               precision=torch.float)
+    p = variables["params"]
+    with torch.no_grad():
+        for jname, tmod in (("q_proj", ref.linear_q), ("k_proj", ref.linear_k),
+                            ("v_proj", ref.linear_v),
+                            ("out_proj", ref.linear_out)):
+            tmod.weight.copy_(torch.tensor(np.asarray(p[jname]["kernel"]).T))
+            tmod.bias.copy_(torch.tensor(np.asarray(p[jname]["bias"])))
+    ref.eval()
+
+    xt = torch.tensor(x).permute(1, 0, 2)  # T X B X C
+    with torch.no_grad():
+        y_ref, _ = ref(xt, xt, xt, key_padding_mask=None)
+    y, _ = attn.apply(variables, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), y_ref.permute(1, 0, 2).numpy(),
+                               **TOL)
+
+    # with key padding (example 1 valid only to length 17)
+    lens = torch.tensor([t, 17])
+    pad = lengths_to_padding_mask(lens, t)
+    with torch.no_grad():
+        y_ref, _ = ref(xt, xt, xt, key_padding_mask=pad)
+    key_valid = jnp.arange(t)[None, :] < jnp.asarray(lens.numpy())[:, None]
+    y, _ = attn.apply(variables, jnp.asarray(x), None, None, key_valid)
+    np.testing.assert_allclose(np.asarray(y)[0], y_ref.permute(1, 0, 2).numpy()[0],
+                               **TOL)
+    np.testing.assert_allclose(np.asarray(y)[1, :17],
+                               y_ref.permute(1, 0, 2).numpy()[1, :17], **TOL)
+
+
+def test_rope_encoder_streaming_exact():
+    """Incremental encode_block == offline forward for pos_enc_type=rope —
+    the rotary rebuild generalizes the reference's offline-only module to
+    exact streaming (keys rotated at absolute positions before caching)."""
+    cfg = tiny_config()
+    cfg.encoder.pos_enc_type = "rope"
+    enc = ChunkConformerEncoder(cfg.encoder)
+    b, frames = 2, 64
+    rng = np.random.RandomState(5)
+    src = jnp.asarray(rng.randn(b, frames, 80).astype(np.float32))
+    lens = jnp.full((b,), frames, jnp.int32)
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, src, lens,
+                         chunk_size=4, conv_chunk_size=4,
+                         use_running_stats=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    off, _ = enc.apply(variables, src, lens, chunk_size=4, conv_chunk_size=4)
+
+    t_out = frames // 4
+    state = enc.apply(variables, b, t_out, method=enc.init_stream_state)
+    outs = []
+    block = 16  # one attention chunk (4 enc frames) per block
+    for i in range(0, frames, block):
+        y, state = enc.apply(variables, src[:, i:i + block], state, 4, 4,
+                             method=enc.encode_block)
+        outs.append(y)
+    inc = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(inc), np.asarray(off),
+                               atol=2e-5, rtol=2e-5)
