@@ -73,6 +73,8 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--validate-interval-updates", type=int, default=1000)
     p.add_argument("--max-valid-batches", type=int, default=50,
                    help="cap on scored validation batches (0 = score all)")
+    p.add_argument("--tensorboard-logdir", type=str, default=None,
+                   help="mirror train/valid stats as tensorboard scalars")
     # streaming-mask training (train.simul-s2st.sh)
     p.add_argument("--k1", type=int, default=0)
     p.add_argument("--n1", type=int, default=1)
@@ -180,12 +182,16 @@ def main(argv=None):
                               specaugment_cfg=specaugment_cfg)
 
     mesh = make_mesh(model=args.tp)
+    # synthetic batch must divide across the data mesh axis
+    n_data = dict(mesh.shape).get("data", 1)
+    syn_batch = max(4, n_data)
     state = create_sharded_state(variables, tx, mesh, fsdp=args.fsdp,
                                  tp=args.tp > 1)
     if args.save_dir:
         Path(args.save_dir).mkdir(parents=True, exist_ok=True)
     progress = JsonProgress(log_file=str(Path(args.save_dir) / "train.log")
-                            if args.save_dir else None)
+                            if args.save_dir else None,
+                            tensorboard_logdir=args.tensorboard_logdir)
     progress.log({"event": "init", "params": n_params,
                   "devices": len(jax.devices()),
                   "mesh": dict(mesh.shape)}, tag="setup", step=0)
@@ -215,7 +221,8 @@ def main(argv=None):
 
     def validate(state):
         if args.synthetic:
-            batches = [synthetic_batch(model_cfg, batch=4, frames=64, seed=999)]
+            batches = [synthetic_batch(model_cfg, batch=syn_batch, frames=64,
+                                       seed=999)]
         elif valid_ds is not None:
             all_idx = valid_ds.batches(args.max_tokens, args.max_sentences)
             cap = args.max_valid_batches
@@ -238,7 +245,7 @@ def main(argv=None):
     def batch_iterator(epoch):
         if args.synthetic:
             for i in range(10000):
-                yield synthetic_batch(model_cfg, batch=4, frames=64,
+                yield synthetic_batch(model_cfg, batch=syn_batch, frames=64,
                                       seed=epoch * 10000 + i)
         else:
             for idx in train_ds.batches(args.max_tokens, args.max_sentences,

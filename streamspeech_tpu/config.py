@@ -119,6 +119,9 @@ class StreamSpeechConfig:
     ctc_target_unigram_vocab: int = 0
     # cascade variant: T2U consumes re-embedded MT output tokens
     cascade: bool = False
+    # UnitY --synthesizer-augmented-cross-attention: the AR unit decoder also
+    # cross-attends to the speech encoder output (`s2s_conformer_unity.py:258`)
+    t2u_augmented_cross_attn: bool = False
     dtype: str = "float32"  # compute dtype: "float32" | "bfloat16"
 
     @classmethod

@@ -127,6 +127,11 @@ class SentenceLevelEvaluator:
         for line in log.read_text().splitlines():
             d = json.loads(line)
             cls = SpeechOutputInstance if "durations" in d else TextOutputInstance
+            # The rebuilt source is only ever used for its LENGTH (RTF,
+            # StartOffset/EndOffset and AL all derive from source_length);
+            # 16 samples/ms matches the 16 kHz rate every speech instance
+            # records source_length at (`eval/instance.py` source_length is ms
+            # of source audio), so the synthetic zeros are length-exact.
             src_samples = [0.0] * int(d["source_length"] * 16)
             ins = cls(d["index"], src_samples, d.get("reference"),
                       output_dir=self.output_dir)

@@ -23,6 +23,7 @@ else is batched einsum/masking with static shapes.
 
 from __future__ import annotations
 
+
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
@@ -340,3 +341,111 @@ class HMTAgent:
             self.states.target_finished = True
         return WriteAction(TextSegment(content=self.tgt_dict[nxt],
                                        finished=done), finished=done)
+
+
+# ---------------------------------------------------------------------------
+# offline beam generation
+# ---------------------------------------------------------------------------
+
+
+_BEAM_STEP_CACHE: Dict[int, Tuple[Any, Any]] = {}
+
+
+def _beam_step_program(model: HMTModel):
+    """One jitted program per model instance, cached so repeated generate
+    calls reuse compilations (configs are mutable dataclasses — not
+    lru_cache-able; the value holds the model so its id stays unique)."""
+    hit = _BEAM_STEP_CACHE.get(id(model))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+    kk = model.cands_per_token
+
+    @jax.jit
+    def _step(variables, src, src_len, prev, pos):
+        em, tr, _ = model.apply(variables, src, src_len, prev)
+        tp = jax.nn.softmax(tr.astype(jnp.float32), -1)[:, pos]      # [B,K,2]
+        ok = tp[:, :, 1] >= 0.5
+        sel = jnp.where(jnp.any(ok, axis=1), jnp.argmax(ok, axis=1), kk - 1)
+        lp = jax.nn.log_softmax(em.astype(jnp.float32), -1)[:, pos]  # [B,K,V]
+        lp = jnp.take_along_axis(lp, sel[:, None, None], axis=1)[:, 0]
+        return lp, sel
+
+    _BEAM_STEP_CACHE[id(model)] = (model, _step)
+    return _step
+
+
+def hmt_beam_generate(model: HMTModel, variables, src_ids, beam_size: int = 5,
+                      max_len: int = 100, len_penalty: float = 1.0,
+                      min_len: int = 1, eos: int = 2, pad: int = PAD):
+    """Offline HMT beam search (`agent/mt/hmt_sequence_generator.py:207-728`).
+
+    Per beam row at each step, the active HMM state is the FIRST candidate
+    whose transition head says translate (p >= 0.5, `:443` next_selected_idx;
+    the last state is forced to translate by the model); emission log-probs
+    are gathered at that state and stepped with fairseq beam mechanics:
+    2*beam candidate expansion, EOS hypotheses finalized with score /
+    (len ** len_penalty) (`fairseq/sequence_generator.py` semantics), pad
+    never selected, EOS banned before ``min_len`` and forced at ``max_len``.
+
+    Returns a list of (tokens: List[int] without EOS, score: float), best
+    first. Beams are batched through one jitted program per (src-bucket,
+    prev-bucket) shape; all outputs fetched with one device_get per step.
+    """
+    import numpy as np
+
+    kk = model.cands_per_token
+    _step = _beam_step_program(model)
+
+    bsz = beam_size
+    n_src = len(src_ids)
+    msrc = -(-max(n_src, 1) // 8) * 8
+    src = np.full((bsz, msrc), pad, np.int32)
+    src[:, :n_src] = src_ids
+    src_len = np.full((bsz,), n_src, np.int32)
+
+    tokens = np.full((bsz, max_len + 2), pad, np.int32)
+    tokens[:, 0] = eos  # fairseq convention: prev starts with EOS
+    scores = np.zeros((bsz,), np.float64)
+    scores[1:] = -np.inf  # step 0: all beams identical — keep only row 0
+    finalized = []  # (score_normalized, tokens)
+
+    for step_i in range(max_len + 1):
+        pm = -(-(step_i + 1) // 8) * 8
+        prev = np.full((bsz, pm), pad, np.int32)
+        prev[:, :step_i + 1] = tokens[:, :step_i + 1]
+        lp, _sel = jax.device_get(_step(
+            variables, src, src_len, prev, jnp.asarray(step_i, jnp.int32)))
+        lp = lp.astype(np.float64)
+        lp[:, pad] = -np.inf
+        if step_i < min_len:
+            lp[:, eos] = -np.inf
+        if step_i >= max_len:
+            keep = lp[:, eos].copy()
+            lp[:] = -np.inf
+            lp[:, eos] = keep
+        cand = scores[:, None] + lp                     # [B, V]
+        flat = cand.reshape(-1)
+        top = np.argsort(-flat)[: 2 * bsz]
+        new_rows = []
+        for f in top:
+            b, t = divmod(int(f), lp.shape[1])
+            sc = flat[f]
+            if not np.isfinite(sc):
+                continue
+            if t == eos:
+                norm = sc / float((step_i + 1) ** len_penalty)
+                finalized.append((norm, tokens[b, 1:step_i + 1].tolist()))
+            elif len(new_rows) < bsz:
+                new_rows.append((b, t, sc))
+        if len(finalized) >= bsz or not new_rows:
+            break
+        order = np.asarray([b for b, _, _ in new_rows], np.int32)
+        tokens = tokens[order]
+        tokens[:, step_i + 1] = [t for _, t, _ in new_rows]
+        scores = np.asarray([sc for _, _, sc in new_rows], np.float64)
+        if len(new_rows) < bsz:  # pad dead rows (keep shapes static)
+            k = bsz - len(new_rows)
+            tokens = np.concatenate([tokens, tokens[-1:].repeat(k, 0)], 0)
+            scores = np.concatenate([scores, np.full((k,), -np.inf)])
+    finalized.sort(key=lambda x: -x[0])
+    return [(toks, float(sc)) for sc, toks in finalized[:bsz]]

@@ -310,6 +310,150 @@ class TransformerDecoderLayer(nn.Module):
         return self.encoder_attn.fill_cross_cache(enc_new, cross_cache)
 
 
+class AugTransformerDecoderLayer(nn.Module):
+    """Decoder layer with DUAL cross-attention
+    (`fairseq/fairseq/modules/transformer_layer_aug.py:150-265`):
+    encoder_attn over the primary encoder output, encoder_attn2 over the
+    auxiliary one, merged "sequential" (two residual sublayers, each with its
+    own layer norm — the default) or "parallel" (averaged before the
+    residual). Eval-mode dropnet ratios: sequential [1, 1], parallel
+    [0.5, 0.5] (`get_dropnet_ratio`)."""
+
+    embed_dim: int
+    ffn_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    merge_type: str = "sequential"  # | "parallel"
+    normalize_before: bool = True
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.self_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
+                                            0.0, dtype=self.dtype,
+                                            name="self_attn")
+        self.self_attn_layer_norm = LayerNorm(dtype=self.dtype,
+                                              name="self_attn_layer_norm")
+        self.encoder_attn = MultiHeadAttention(self.embed_dim, self.num_heads,
+                                               0.0, dtype=self.dtype,
+                                               name="encoder_attn")
+        self.encoder_attn_layer_norm = LayerNorm(
+            dtype=self.dtype, name="encoder_attn_layer_norm")
+        self.encoder_attn2 = MultiHeadAttention(self.embed_dim, self.num_heads,
+                                                0.0, dtype=self.dtype,
+                                                name="encoder_attn2")
+        self.encoder_attn_layer_norm2 = LayerNorm(
+            dtype=self.dtype, name="encoder_attn_layer_norm2")
+        self.ffn = TransformerFFN(self.ffn_dim, self.embed_dim, self.dropout,
+                                  0.0, dtype=self.dtype, name="ffn")
+        self.final_layer_norm = LayerNorm(dtype=self.dtype,
+                                          name="final_layer_norm")
+        self.dropout_module = nn.Dropout(self.dropout)
+
+    def _cross(self, attn, ln, x, enc, enc_valid, deterministic):
+        residual = x
+        if self.normalize_before:
+            x = ln(x)
+        x, _ = attn(x, enc, None, enc_valid, None, deterministic)
+        x = self.dropout_module(x, deterministic=deterministic)
+        return residual, x, ln
+
+    def __call__(self, x, enc, enc_aug, allowed_self=None, self_valid=None,
+                 enc_valid=None, enc_aug_valid=None, deterministic=True):
+        residual = x
+        if self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, _ = self.self_attn(x, None, allowed_self, self_valid, None,
+                              deterministic)
+        x = self.dropout_module(x, deterministic=deterministic)
+        x = residual + x
+        if not self.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        if self.merge_type == "sequential":
+            residual, x, ln = self._cross(self.encoder_attn,
+                                          self.encoder_attn_layer_norm,
+                                          x, enc, enc_valid, deterministic)
+            x = residual + x
+            if not self.normalize_before:
+                x = ln(x)
+            residual, x, ln = self._cross(self.encoder_attn2,
+                                          self.encoder_attn_layer_norm2,
+                                          x, enc_aug, enc_aug_valid,
+                                          deterministic)
+            x = residual + x
+            if not self.normalize_before:
+                x = ln(x)
+        else:  # parallel
+            residual = x
+            if self.normalize_before:
+                x = self.encoder_attn_layer_norm(x)
+            x1, _ = self.encoder_attn(x, enc, None, enc_valid, None,
+                                      deterministic)
+            x2, _ = self.encoder_attn2(x, enc_aug, None, enc_aug_valid, None,
+                                       deterministic)
+            x1 = self.dropout_module(x1, deterministic=deterministic)
+            x2 = self.dropout_module(x2, deterministic=deterministic)
+            x = residual + 0.5 * x1 + 0.5 * x2
+            if not self.normalize_before:
+                x = self.encoder_attn_layer_norm(x)
+
+        residual = x
+        if self.normalize_before:
+            x = self.final_layer_norm(x)
+        x = residual + self.ffn(x, deterministic)
+        if not self.normalize_before:
+            x = self.final_layer_norm(x)
+        return x
+
+
+class AugTransformerUnitDecoder(nn.Module):
+    """AR unit decoder with augmented cross-attention over the speech encoder
+    (`fairseq/fairseq/models/speech_to_speech/modules/transformer_decoder_aug.py:14-121`,
+    enabled by --synthesizer-augmented-cross-attention in UnitY,
+    `s2s_conformer_unity.py:258-263`: primary = speech encoder out, aug = T2U
+    encoder out)."""
+
+    cfg: DecoderConfig
+    merge_type: str = "sequential"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed_tokens = self.param("embed_tokens", token_embedding_init,
+                                       (c.vocab_size, c.embed_dim))
+        self.pos_table = jnp.asarray(
+            sinusoidal_embedding(c.max_target_positions, c.embed_dim, PAD))
+        self.embed_scale = 1.0 if c.no_scale_embedding else math.sqrt(c.embed_dim)
+        self.layers = [
+            AugTransformerDecoderLayer(
+                c.embed_dim, c.ffn_embed_dim, c.attention_heads, c.dropout,
+                merge_type=self.merge_type,
+                normalize_before=c.normalize_before, dtype=self.dtype,
+                name=f"layers_{i}")
+            for i in range(c.layers)
+        ]
+        self.final_layer_norm = (LayerNorm(dtype=self.dtype, name="layer_norm")
+                                 if c.normalize_before else None)
+        self.dropout_module = nn.Dropout(c.dropout)
+
+    def __call__(self, prev_output_tokens, enc, enc_aug, enc_valid=None,
+                 enc_aug_valid=None, deterministic=True):
+        s = prev_output_tokens.shape[1]
+        positions = fairseq_positions(prev_output_tokens)
+        x = self.embed_scale * jnp.take(self.embed_tokens,
+                                        prev_output_tokens, axis=0)
+        x = x + jnp.take(self.pos_table, positions, axis=0)
+        x = self.dropout_module(x, deterministic=deterministic)
+        allowed_self = causal_allowed(s)
+        self_valid = prev_output_tokens != PAD
+        for layer in self.layers:
+            x = layer(x, enc, enc_aug, allowed_self, self_valid, enc_valid,
+                      enc_aug_valid, deterministic)
+        if self.final_layer_norm is not None:
+            x = self.final_layer_norm(x)
+        return x @ self.embed_tokens.T.astype(x.dtype), x
+
+
 class TransformerDecoder(nn.Module):
     """First-pass MT text decoder (post-norm by default, matching the multitask
     decoder arch `s2s_transformer.py:582-607`)."""

@@ -27,6 +27,7 @@ from streamspeech_tpu.config import DecoderConfig, StreamSpeechConfig
 from streamspeech_tpu.models.conformer import ChunkConformerEncoder
 from streamspeech_tpu.models.streamspeech import ctc_not_blank_probs
 from streamspeech_tpu.models.transformer import (
+    AugTransformerUnitDecoder,
     CTCHead,
     PAD,
     TransformerDecoder,
@@ -72,8 +73,15 @@ class UnitYModel(nn.Module):
             normalize_before=True,
             vocab_size=c.unit_decoder.vocab_size,
             max_target_positions=c.unit_decoder.max_target_positions)
-        self.unit_decoder = TransformerDecoder(ud, dtype=self.dtype,
-                                               name="unit_decoder")
+        if getattr(c, "t2u_augmented_cross_attn", False):
+            # --synthesizer-augmented-cross-attention: dual cross-attention,
+            # primary = speech encoder out, aug = T2U out
+            # (`s2s_conformer_unity.py:258-263`)
+            self.unit_decoder = AugTransformerUnitDecoder(
+                ud, dtype=self.dtype, name="unit_decoder")
+        else:
+            self.unit_decoder = TransformerDecoder(ud, dtype=self.dtype,
+                                                   name="unit_decoder")
 
     def __call__(
         self,
@@ -113,8 +121,13 @@ class UnitYModel(nn.Module):
         mt_valid = prev_output_tokens_mt != PAD
         t2u = (self.synthesizer_encoder(mt_feats, mt_valid, deterministic)
                if self.synthesizer_encoder is not None else mt_feats)
-        unit_logits, _ = self.unit_decoder(prev_output_tokens, t2u, mt_valid,
-                                           None, deterministic)
+        if isinstance(self.unit_decoder, AugTransformerUnitDecoder):
+            unit_logits, _ = self.unit_decoder(
+                prev_output_tokens, enc, t2u, enc_valid, mt_valid,
+                deterministic)
+        else:
+            unit_logits, _ = self.unit_decoder(prev_output_tokens, t2u,
+                                               mt_valid, None, deterministic)
         return {
             "unit_logits": unit_logits,
             "mt_logits": mt_logits,

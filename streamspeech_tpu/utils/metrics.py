@@ -80,9 +80,17 @@ metrics = MetricsAggregator()
 class JsonProgress:
     """fairseq --log-format json equivalent: one JSON line per log_interval."""
 
-    def __init__(self, log_file: Optional[str] = None, stream=None):
+    def __init__(self, log_file: Optional[str] = None, stream=None,
+                 tensorboard_logdir: Optional[str] = None):
         self.stream = stream or sys.stdout
         self.log_file = open(log_file, "a") if log_file else None
+        self.tb = None
+        if tensorboard_logdir:
+            # fairseq TensorboardProgressBarWrapper analogue
+            # (`fairseq/fairseq/logging/progress_bar.py:282-299`)
+            from streamspeech_tpu.utils.tensorboard import TensorboardWriter
+
+            self.tb = TensorboardWriter(tensorboard_logdir)
 
     def log(self, stats: Dict[str, float], tag: str = "train",
             step: Optional[int] = None):
@@ -94,3 +102,7 @@ class JsonProgress:
         if self.log_file:
             self.log_file.write(line + "\n")
             self.log_file.flush()
+        if self.tb is not None and step is not None:
+            self.tb.add_scalars(tag, {k: v for k, v in stats.items()
+                                      if isinstance(v, (int, float))}, step)
+            self.tb.flush()

@@ -136,3 +136,59 @@ def test_hmt_agent():
             break
         out = agent.pop()
     assert agent.states.source_finished
+
+
+def test_hmt_beam_generate():
+    """Offline beam search (`agent/mt/hmt_sequence_generator.py`): beam=1
+    reproduces an explicit greedy rollout of the same state-selection rule;
+    wider beams return sorted, finalized hypotheses."""
+    from streamspeech_tpu.models.hmt import hmt_beam_generate
+
+    model, variables = build(vocab=20, k=3, first_read=2)
+    src_ids = [5, 7, 9, 11, 6]
+
+    hyps1 = hmt_beam_generate(model, variables, src_ids, beam_size=1,
+                              max_len=8, min_len=1)
+    assert hyps1, "beam=1 must finalize at least one hypothesis"
+    toks1, sc1 = hyps1[0]
+    assert len(toks1) <= 8 and all(t not in (1,) for t in toks1)
+
+    # explicit greedy rollout with the same first-k>=0.5 state rule
+    kk = model.cands_per_token
+    fwd = jax.jit(model.apply)
+    hyp = [2]
+    for i in range(9):
+        pm = -(-(i + 1) // 8) * 8
+        prev = np.full((1, pm), 1, np.int32)
+        prev[0, :i + 1] = hyp
+        src = np.full((1, 8), 1, np.int32)
+        src[0, :5] = src_ids
+        em, tr, _ = fwd(variables, jnp.asarray(src),
+                        jnp.asarray([5], jnp.int32), jnp.asarray(prev))
+        tp = jax.nn.softmax(tr.astype(jnp.float32), -1)[0, i]  # [K, 2]
+        ok = np.asarray(tp[:, 1] >= 0.5)
+        sel = int(np.argmax(ok)) if ok.any() else kk - 1
+        lp = np.asarray(jax.nn.log_softmax(
+            em.astype(jnp.float32), -1))[0, i, sel].copy()
+        lp[1] = -np.inf
+        if i < 1:
+            lp[2] = -np.inf
+        if i >= 8:
+            nxt = 2
+        else:
+            nxt = int(np.argmax(lp))
+        if nxt == 2:
+            break
+        hyp.append(nxt)
+    assert toks1 == hyp[1:], (toks1, hyp[1:])
+
+    hyps4 = hmt_beam_generate(model, variables, src_ids, beam_size=4,
+                              max_len=8, min_len=1)
+    assert 1 <= len(hyps4) <= 4
+    assert all(hyps4[i][1] >= hyps4[i + 1][1] for i in range(len(hyps4) - 1))
+    # deterministic across calls (beam search itself is not monotone in beam
+    # size under length normalization, so no >= sc1 guarantee)
+    again = hmt_beam_generate(model, variables, src_ids, beam_size=4,
+                              max_len=8, min_len=1)
+    assert again == hyps4
+    assert isinstance(sc1, float)

@@ -48,3 +48,51 @@ def test_cascade_forward():
     up = cfg.unit_decoder.ctc_upsample_rate
     assert out["unit_logits"].shape == (b, s * up, cfg.unit_decoder.vocab_size)
     assert np.isfinite(np.asarray(out["unit_logits"])).all()
+
+
+def test_unity_augmented_cross_attention():
+    """--synthesizer-augmented-cross-attention
+    (`s2s_conformer_unity.py:258-263` + `transformer_layer_aug.py:150-265`):
+    the AR unit decoder dual-attends to the speech encoder (primary) and the
+    T2U output (aug); train loss and grads stay finite."""
+    cfg = tiny_config()
+    cfg.t2u_augmented_cross_attn = True
+    model = UnitYModel(cfg)
+    b, t, u = 2, 64, 9
+    src = jnp.asarray(np.random.RandomState(1).randn(b, t, 80), jnp.float32)
+    lens = jnp.array([64, 48])
+    mt = jnp.array([[2, 5, 6, 7, 8, 9], [2, 5, 6, 2, 1, 1]], jnp.int32)
+    units_prev = jnp.full((b, u), 5, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), src, lens, mt, units_prev,
+                           use_running_stats=False)
+    # dual cross-attention params exist
+    l0 = variables["params"]["unit_decoder"]["layers_0"]
+    assert "encoder_attn2" in l0 and "encoder_attn_layer_norm2" in l0
+    out = model.apply(variables, src, lens, mt, units_prev)
+    assert out["unit_logits"].shape == (b, u, cfg.unit_decoder.vocab_size)
+    assert np.isfinite(np.asarray(out["unit_logits"])).all()
+
+    # changing the speech encoder input must change the unit logits (the aug
+    # decoder really attends to it, not only to the T2U path)
+    # NB: with the plain decoder, unit logits depend on enc only THROUGH mt —
+    # here gradients flow through the direct cross-attention too
+    batch = {
+        "target_units": jnp.full((b, u), 6, jnp.int32),
+        "mt_targets": mt,
+        "src_text": jnp.full((b, 4), 5, jnp.int32),
+        "src_text_lengths": jnp.full((b,), 4, jnp.int32),
+        "tgt_text": jnp.full((b, 4), 5, jnp.int32),
+        "tgt_text_lengths": jnp.full((b,), 4, jnp.int32),
+    }
+
+    def loss_fn(params):
+        o = model.apply({"params": params,
+                         "batch_stats": variables.get("batch_stats", {})},
+                        src, lens, mt, units_prev)
+        return unity_loss(o, batch)["loss"]
+
+    g = jax.grad(loss_fn)(variables["params"])
+    g2 = g["unit_decoder"]["layers_0"]["encoder_attn2"]["q_proj"]["kernel"]
+    gs = g["unit_decoder"]["layers_0"]["encoder_attn"]["q_proj"]["kernel"]
+    assert np.isfinite(np.asarray(g2)).all() and float(np.abs(g2).sum()) > 0
+    assert np.isfinite(np.asarray(gs)).all() and float(np.abs(gs).sum()) > 0
