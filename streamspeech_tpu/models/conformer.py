@@ -31,7 +31,10 @@ import jax.numpy as jnp
 
 from streamspeech_tpu.config import EncoderConfig
 from streamspeech_tpu.ops.masks import chunk_allowed, lengths_to_mask
-from streamspeech_tpu.ops.pos_encoding import rel_pos_encoding
+from streamspeech_tpu.ops.pos_encoding import (
+    rel_pos_encoding,
+    sinusoidal_embedding,
+)
 from streamspeech_tpu.models.layers import (
     LayerNorm,
     ChunkCausalConv,
@@ -218,6 +221,13 @@ class ChunkConformerEncoder(nn.Module):
                        for i in range(c.layers)]
         self.embed_scale = 1.0 if c.no_scale_embedding else math.sqrt(c.embed_dim)
         self.dropout_module = nn.Dropout(c.dropout)
+        # abs mode adds fairseq sinusoidal positions to the subsampled frames
+        # BEFORE self.linear (`chunk_unity/models/s2t_conformer.py:134-137`);
+        # padded frames get the padding row, matching make_positions
+        self.abs_pos_table = (
+            jnp.asarray(sinusoidal_embedding(
+                c.max_source_positions + 2, c.embed_dim, 1))
+            if c.pos_enc_type == "abs" else None)
         # speaker-embedding projection (`s2s_conformer.py:44-47`): concat the
         # target-speaker vector to every frame and project back to embed_dim
         self.spk_emb_proj = (nn.Dense(c.embed_dim, dtype=self.dtype,
@@ -245,6 +255,11 @@ class ChunkConformerEncoder(nn.Module):
         if c.pos_enc_type == "rel_pos":
             pos_emb = jnp.asarray(rel_pos_encoding(t, c.embed_dim),
                                   dtype=self.dtype)
+        elif self.abs_pos_table is not None:
+            valid = jnp.arange(t, dtype=jnp.int32)[None, :] < \
+                out_lengths[:, None]
+            rows = jnp.where(valid, 2 + jnp.arange(t, dtype=jnp.int32)[None], 1)
+            x = x + jnp.take(self.abs_pos_table, rows, axis=0).astype(x.dtype)
 
         x = self.linear(x)
         x = self.dropout_module(x, deterministic=deterministic)
@@ -305,6 +320,14 @@ class ChunkConformerEncoder(nn.Module):
                                          valid_len)
         s = x.shape[1]
         x = x * self.embed_scale
+        if self.abs_pos_table is not None:
+            abs_i = state.pos + jnp.arange(s, dtype=jnp.int32)   # absolute
+            rows = jnp.broadcast_to(2 + abs_i[None, :],
+                                    (x.shape[0], s))
+            if valid_len is not None and jnp.ndim(valid_len) == 1:
+                end = state.pos + -(-valid_len // 4)
+                rows = jnp.where(abs_i[None, :] < end[:, None], rows, 1)
+            x = x + jnp.take(self.abs_pos_table, rows, axis=0).astype(x.dtype)
         x = self.linear(x)
 
         max_frames = state.kv[0].max_len

