@@ -12,17 +12,21 @@ import numpy as np
 
 
 class GlobalCMVN:
+    """Pure numpy on purpose: the streaming agents apply this per 320 ms chunk
+    on the host — eager jnp elementwise ops here would each be a ~30 ms RPC
+    through a remote-accelerator tunnel (CLAUDE.md RPC cost model)."""
+
     def __init__(self, mean: np.ndarray, std: np.ndarray):
-        self.mean = jnp.asarray(mean, dtype=jnp.float32)
-        self.std = jnp.asarray(std, dtype=jnp.float32)
+        self.mean = np.asarray(mean, dtype=np.float32)
+        self.std = np.asarray(std, dtype=np.float32)
 
     @classmethod
     def from_npz(cls, path: str) -> "GlobalCMVN":
         stats = np.load(path)
         return cls(stats["mean"], stats["std"])
 
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        return (x - self.mean) / self.std
+    def __call__(self, x) -> np.ndarray:
+        return (np.asarray(x) - self.mean) / self.std
 
 
 def utterance_cmvn(x: jnp.ndarray, norm_means: bool = True, norm_vars: bool = True,

@@ -120,6 +120,23 @@ def logmelfbank(
     return jnp.log(jnp.maximum(mel, _EPS))
 
 
+_CPU_DEVICE = None
+
+
+def _on_cpu(x: np.ndarray):
+    """Commit a host array to the local cpu backend so the jitted extractor
+    runs there (falls back to default placement if no cpu backend exists)."""
+    global _CPU_DEVICE
+    if _CPU_DEVICE is None:
+        try:
+            _CPU_DEVICE = jax.devices("cpu")[0]
+        except Exception:
+            _CPU_DEVICE = False
+    if _CPU_DEVICE is False:
+        return jnp.asarray(x)
+    return jax.device_put(x, _CPU_DEVICE)
+
+
 class OnlineFbank:
     """Incremental fbank: feed raw sample chunks, get new frames back.
 
@@ -148,7 +165,12 @@ class OnlineFbank:
             self.residual = buf
             return np.zeros((0, self.num_bins), dtype=np.float32)
         used = n * self.shift
-        feats = np.asarray(logmelfbank(jnp.asarray(buf[: used + self.win - self.shift]),
-                                       self.sample_rate, self.num_bins))
+        # Run the jitted extractor on the LOCAL cpu backend: when the default
+        # backend is a remote accelerator, the device_put + result fetch for
+        # this tiny per-chunk FFT cost two ~30 ms tunnel RPCs — more than the
+        # entire fused policy step (measured; CLAUDE.md RPC cost model).
+        arr = buf[: used + self.win - self.shift]
+        feats = np.asarray(logmelfbank(_on_cpu(arr), self.sample_rate,
+                                       self.num_bins))
         self.residual = buf[used:]
         return feats
