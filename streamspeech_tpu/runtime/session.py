@@ -693,9 +693,10 @@ class StreamingSession:
         # (tail_cap floats ≈ 240 KB at ~47 MB/s) and token rows ride a second
         # RPC only on decode/emit chunks. Per-output np.asarray would cost a
         # ~33 ms round trip each; device_get batches a tuple into one.
-        (flags, keep, asr_count_d, st_count_d, count, asr_ids, st_ids) = \
-            jax.device_get((flags, keep, asr_count_d, st_count_d, count,
-                            asr_ids, st_ids))
+        (flags, keep, asr_count_d, st_count_d, count, asr_ids, st_ids,
+         mt_buf_d) = jax.device_get(
+            (flags, keep, asr_count_d, st_count_d, count, asr_ids, st_ids,
+             mt_buf_d))
         out = {
             "do_decode": bool(flags[0]), "do_emit": bool(flags[1]),
             "ok": bool(flags[2]), "budget_over": bool(flags[3]),
@@ -707,18 +708,15 @@ class StreamingSession:
         self.enc_len += block_enc
         self.asr_ids.extend(asr_ids.tolist())
         self.st_ids.extend(st_ids.tolist())
-        if out["do_decode"] and out["do_emit"]:
-            mt_buf_d, units, dur, tail, cur_len = jax.device_get(
-                (mt_buf_d, units, dur, tail, cur_len))
+        if out["do_decode"]:
             self.mt_tokens = mt_buf_d[0][: out["keep"]].tolist()
             self.mt_steps = out["keep"]
+        if out["do_emit"]:
+            units, dur, tail, cur_len = jax.device_get(
+                (units, dur, tail, cur_len))
             out["units"] = units[: out["count"]].tolist()
             out["dur"] = dur[: out["count"]]
             out["tail"] = tail[: int(cur_len)]
-        elif out["do_decode"]:
-            mt_buf_d = jax.device_get(mt_buf_d)
-            self.mt_tokens = mt_buf_d[0][: out["keep"]].tolist()
-            self.mt_steps = out["keep"]
         return out
 
     def ctc_hypotheses(self) -> Dict[str, Tuple[List[int], List[int]]]:
