@@ -143,6 +143,19 @@ def _install_stubs() -> None:
     _load_file("fairseq.modules.rotary_positional_embedding",
                REF / "fairseq/fairseq/modules/rotary_positional_embedding.py")
 
+    # torch-only real files the payless-attention convolutions depend on
+    _load_file("fairseq.modules.unfold",
+               REF / "fairseq/fairseq/modules/unfold.py")
+    idu = _load_file("fairseq.incremental_decoding_utils",
+                     REF / "fairseq/fairseq/incremental_decoding_utils.py")
+    fairseq.incremental_decoding_utils = idu
+    # incremental-state helpers on the utils stub (delegate to the module)
+    utils.get_incremental_state = (
+        lambda mod, state, key: mod.get_incremental_state(state, key))
+    utils.set_incremental_state = (
+        lambda mod, state, key, value: mod.set_incremental_state(
+            state, key, value))
+
     _install_stubs._done = True
 
 
@@ -170,6 +183,10 @@ def load_reference_modules() -> types.SimpleNamespace:
                          REF / "fairseq/fairseq/models/text_to_speech/hifigan.py")
     sinpos = _load_file("fairseq.modules.sinusoidal_positional_embedding",
                         REF / "fairseq/fairseq/modules/sinusoidal_positional_embedding.py")
+    lightconv = _load_file("fairseq.modules.lightweight_convolution",
+                           REF / "fairseq/fairseq/modules/lightweight_convolution.py")
+    dynconv = _load_file("fairseq.modules.dynamic_convolution",
+                         REF / "fairseq/fairseq/modules/dynamic_convolution.py")
 
     return types.SimpleNamespace(
         ChunkCausalConv1d=ccc.ChunkCausalConv1d,
@@ -183,6 +200,8 @@ def load_reference_modules() -> types.SimpleNamespace:
         SinusoidalPositionalEmbedding=sinpos.SinusoidalPositionalEmbedding,
         HifiGanGenerator=hifigan.Generator,
         VariancePredictor=load_variance_predictor(),
+        LightweightConv1dTBC=lightconv.LightweightConv1dTBC,
+        DynamicConv1dTBC=dynconv.DynamicConv1dTBC,
     )
 
 
