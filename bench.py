@@ -62,12 +62,44 @@ def main():
             # remote-helper compile time) bounded; 3 x 8 s covers ~75 chunks
             st = bm.measure_pipeline_rtf(
                 model, variables, utterances=3, seconds=8.0, segment_ms=320,
-                mt_buckets=(64,), unit_buckets=(256,), verbose=True)
+                mt_buckets=(64,), unit_buckets=(256,), collect_replay=True,
+                verbose=True)
             pipeline_x = st["pipeline_xrealtime"]
             extras["pipeline_rtf"] = round(st["pipeline_rtf"], 4)
             extras["pipeline_n_writes"] = st["n_writes"]
             extras["pipeline_n_chunks"] = st["n_chunks"]
             extras["warmup_s"] = round(st["warmup_s"], 1)
+            # provisional headline: if a later (slow, compile-heavy) stage is
+            # killed by the harness, the driver still parses this line; the
+            # final print below supersedes it
+            print(json.dumps({
+                "metric": "s2st_pipeline_xrealtime",
+                "value": round(pipeline_x, 3),
+                "unit": "x_realtime_320ms_chunks",
+                "vs_baseline": round(pipeline_x * 1.326, 3),
+                "extras": dict(extras),
+            }), flush=True)
+            try:
+                print("bench: no-sync compute replay...", file=sys.stderr,
+                      flush=True)
+                ns = bm.measure_nosync_rtf(st["engine"],
+                                           st["replay_records"])
+                if ns:
+                    extras.update({k: (round(v, 4) if isinstance(v, float)
+                                       else v) for k, v in ns.items()})
+            except Exception:
+                traceback.print_exc()
+        except Exception:
+            traceback.print_exc()
+
+    if not fast:
+        try:
+            print("bench: batched serving throughput...", file=sys.stderr,
+                  flush=True)
+            sv = bm.measure_batched_throughput(model, variables, batch=8,
+                                               seconds=8.0, verbose=True)
+            extras.update({k: (round(v, 3) if isinstance(v, float) else v)
+                           for k, v in sv.items()})
         except Exception:
             traceback.print_exc()
 

@@ -581,6 +581,10 @@ class StreamingSession:
         self.pending_feats = np.zeros((0, c.encoder.input_feat_per_channel),
                                       np.float32)
         self.finished_input = False
+        # optional fused-policy call recording (benchmarks.measure_nosync_rtf
+        # replays the exact call sequence with chained dispatch, no per-chunk
+        # fetch, to measure device-side pipeline compute without tunnel RTT)
+        self.record: Optional[List[Dict]] = None
 
     # ------------------------------------------------------------------
     # encoder side
@@ -671,6 +675,21 @@ class StreamingSession:
         last_asr = self.asr_ids[-1] if self.asr_ids else -1
         last_st = self.st_ids[-1] if self.st_ids else -1
 
+        if self.record is not None:
+            self.record.append(dict(
+                block=block[None], valid_len=np.int32(block.shape[0]),
+                mt_buf=mt_buf, n_tokens=np.int32(len(self.mt_tokens)),
+                src_len=np.int32(src_len), tgt_len=np.int32(tgt_len),
+                asr_count=np.int32(asr_count), st_count=np.int32(st_count),
+                last_asr=np.int32(last_asr), last_st=np.int32(last_st),
+                n_units=np.int32(n_prev_units), starts_word=starts_word,
+                static=dict(chunk=chunk, conv_chunk=conv_chunk,
+                            finished=False, whole_word=whole_word, k1=k1,
+                            n=n, steps=steps, mt_cap=mt_cap,
+                            unit_capacity=u_cap,
+                            window_frames=self.e.emit_window_frames,
+                            ctx_frames=self.e.emit_ctx_frames,
+                            tail_cap=self.e.emit_tail_cap, max_len=max_len)))
         (self.enc_state, self.enc_buf, self.mt_self, self.mt_cross, mt_buf_d,
          asr_ids, st_ids, keep, asr_count_d, st_count_d, _, _, units, count,
          dur, tail, cur_len, flags) = self.e._policy_step(
