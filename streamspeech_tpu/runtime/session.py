@@ -118,6 +118,8 @@ class StreamSpeechEngine:
 
         self._mt_decode_greedy = mt_decode_greedy
         self.max_decode_per_call = 16
+        # long-scan tier for the finish flush (decode-to-EOS in few RTTs)
+        self.finish_decode_steps = 64
         # fused policy-step scan length: covers typical per-chunk budgets
         # (1-4 tokens); larger budgets fall back to the host loop (exact)
         self.fused_steps = 8
@@ -538,7 +540,8 @@ class StreamSpeechEngine:
         sess = self.new_session()
         sess.push_features(block, chunk, conv_chunk)
         count += 1
-        for steps in (1, self.max_decode_per_call - 1):
+        for steps in (1, self.max_decode_per_call - 1,
+                      self.finish_decode_steps - 1):
             s2 = self.new_session()
             s2.push_features(block, chunk, conv_chunk)
             s2.mt_decode(steps)
@@ -707,15 +710,16 @@ class StreamingSession:
             ctx_frames=self.e.emit_ctx_frames, tail_cap=self.e.emit_tail_cap,
             max_len=max_len)
 
-        # Split fetch: READ chunks (the common case) fetch only the small
-        # bundle (flags/counters/new CTC ids) in ONE RPC; the wav tail buffer
-        # (tail_cap floats ≈ 240 KB at ~47 MB/s) and token rows ride a second
-        # RPC only on decode/emit chunks. Per-output np.asarray would cost a
-        # ~33 ms round trip each; device_get batches a tuple into one.
+        # ONE fetch for EVERYTHING, every chunk. A second RPC costs a full
+        # ~31 ms tunnel round trip; the extra payload of always fetching the
+        # emission bundle (tail_cap floats ≈ 240 KB at ~47 MB/s ≈ 5 ms + the
+        # token/dur rows) is far cheaper than a second RTT on the ~1/3 of
+        # chunks that decode/emit. Per-output np.asarray would cost a ~33 ms
+        # round trip each; device_get batches the tuple into one RPC.
         (flags, keep, asr_count_d, st_count_d, count, asr_ids, st_ids,
-         mt_buf_d) = jax.device_get(
+         mt_buf_d, units, dur, tail, cur_len) = jax.device_get(
             (flags, keep, asr_count_d, st_count_d, count, asr_ids, st_ids,
-             mt_buf_d))
+             mt_buf_d, units, dur, tail, cur_len))
         out = {
             "do_decode": bool(flags[0]), "do_emit": bool(flags[1]),
             "ok": bool(flags[2]), "budget_over": bool(flags[3]),
@@ -731,8 +735,6 @@ class StreamingSession:
             self.mt_tokens = mt_buf_d[0][: out["keep"]].tolist()
             self.mt_steps = out["keep"]
         if out["do_emit"]:
-            units, dur, tail, cur_len = jax.device_get(
-                (units, dur, tail, cur_len))
             out["units"] = units[: out["count"]].tolist()
             out["dur"] = dur[: out["count"]]
             out["tail"] = tail[: int(cur_len)]
@@ -767,13 +769,27 @@ class StreamingSession:
         # Decoding runs in scanned multi-token jit calls: ONE device round trip
         # per ≤ max_decode_per_call tokens.
         while budget > 0 and len(self.mt_tokens) < max_len:
-            chunk_budget = min(budget, self.e.max_decode_per_call,
+            chunk_budget = min(budget, self.e.finish_decode_steps,
                                max_len - len(self.mt_tokens))
             feed = self.mt_tokens[-1] if self.mt_tokens else EOS
             # scan length is the dominant device cost (~4.4 ms/step through
-            # the tunnel); typical streaming budgets are 1-4 tokens, so use a
-            # short scan program for them and the long one otherwise
-            steps = 4 if chunk_budget <= 4 else self.e.max_decode_per_call
+            # the tunnel) but each extra hop costs a ~31 ms fetch RTT: short
+            # scans for typical 1-4 token streaming budgets, a 16-scan
+            # mid-tier, and a long scan for the finish flush (decode-to-EOS
+            # used to pay ~5 RTTs at 16 steps/hop). The scan appends KV
+            # entries for all `steps` slots before truncation, so a tier must
+            # also fit the cache: fall back to the next smaller one if not.
+            room = self.e.max_mt_tokens - self.mt_steps - 1
+            steps = 4
+            for tier in (4, self.e.max_decode_per_call,
+                         self.e.finish_decode_steps):
+                steps = tier
+                if chunk_budget <= tier:
+                    break
+            while steps > room and steps > 4:
+                steps = 4 if steps == self.e.max_decode_per_call else \
+                    self.e.max_decode_per_call
+            chunk_budget = min(chunk_budget, steps, max(room, 1))
             toks, emitted, hit_eos, self.mt_self = self.e._mt_decode_greedy(
                 self.e.variables, np.asarray([feed], np.int32),
                 np.int32(self.mt_steps), np.int32(chunk_budget),
