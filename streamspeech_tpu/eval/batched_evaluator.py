@@ -140,7 +140,10 @@ class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
                     bs.push_features(i, feats, finished=seg.finished)
                     st[i].pushed_finished = seg.finished
                 st[i].turns += 1
-            bs.encode_ready_blocks(cfg.chunk_size, cfg.conv_chunk_size)
+            if not getattr(self, "use_fused", False):
+                # the fused tick encodes inside its single RPC; host ticks
+                # need the separate batched encode first
+                bs.encode_ready_blocks(cfg.chunk_size, cfg.conv_chunk_size)
             self._tick(bs, st, instances, live)
 
     def _tick(self, bs, st, instances, live) -> None:
@@ -172,17 +175,170 @@ class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
 
 
 class BatchedS2STEvaluator(_BatchedStreamingEvaluator):
-    """Drop-in SentenceLevelEvaluator with wave-batched device work (S2ST)."""
+    """Drop-in SentenceLevelEvaluator with wave-batched device work (S2ST).
+
+    When the engine carries the fused batched policy program
+    (`runtime/session.py policy_step_batched`) and the wave is in lockstep,
+    each tick costs ONE device round trip for ALL streams (`use_fused=True`,
+    default); out-of-lockstep ticks and rare exact fallbacks (budget over the
+    fused scan, emission window overflow) run the host path below, which is
+    also the complete implementation for engines without the fused program."""
 
     target_type = "speech"
 
     def __init__(self, engine, agent_cfg, src_dict, tgt_dict, unit_dict,
-                 gcmvn=None, batch: int = 8, **evaluator_kwargs):
+                 gcmvn=None, batch: int = 8, use_fused: bool = True,
+                 **evaluator_kwargs):
         super().__init__(engine, agent_cfg, src_dict, tgt_dict, gcmvn, batch,
                          **evaluator_kwargs)
         self.unit_dict = unit_dict
+        self.use_fused = use_fused and \
+            getattr(engine, "_policy_step_batched", None) is not None
+        self._starts_word = None
+        if self.use_fused:
+            import jax.numpy as jnp
+            vocab = engine.model.cfg.mt_decoder.vocab_size
+            table = np.zeros((vocab,), bool)
+            for i in range(min(len(tgt_dict), vocab)):
+                table[i] = tgt_dict[i].startswith("▁")
+            self._starts_word = jnp.asarray(table)
+
+    # -- fused lockstep tick (one RPC per tick for the whole wave) ---------
 
     def _tick(self, bs, st, instances, live) -> None:
+        if self.use_fused:
+            if self._tick_fused(bs, st, instances, live):
+                return
+            # tick consumed no device work (out of lockstep): fall through so
+            # the host path drains whatever is pending
+            bs.encode_ready_blocks(self.agent_cfg.chunk_size,
+                                   self.agent_cfg.conv_chunk_size)
+        self._tick_host(bs, st, instances, live)
+
+    def _tick_fused(self, bs, st, instances, live) -> bool:
+        cfg = self.agent_cfg
+        b = bs.batch
+        live_set = set(live)
+        active = np.asarray([i in live_set and not st[i].done
+                             for i in range(b)])
+        finished = np.asarray([instances[i].source_finished_reading
+                               for i in range(b)])
+        out = bs.fused_tick(
+            cfg.chunk_size, cfg.conv_chunk_size, cfg.lagging_k1,
+            cfg.stride_n, cfg.whole_word, cfg.max_len, self._starts_word,
+            np.asarray([st[i].src_ctc_prefix_length for i in range(b)]),
+            np.asarray([st[i].tgt_ctc_prefix_length for i in range(b)]),
+            np.asarray([len(st[i].units) for i in range(b)]),
+            active, finished)
+        if out is None:
+            return False
+        drained = []
+        for i in live:
+            r = out[i]
+            fin = bool(finished[i])
+            if r["grew"]:
+                st[i].src_ctc_prefix_length = max(
+                    r["asr_count"], st[i].src_ctc_prefix_length)
+                st[i].tgt_ctc_prefix_length = max(
+                    r["st_count"], st[i].tgt_ctc_prefix_length)
+            if fin and int(bs.enc_len[i]) == 0:
+                self._write(instances[i], st[i], np.zeros((0,)),
+                            finished=True, target_finished=True)
+                continue
+            if fin:
+                # finished streams decode in tranches of fused_steps per
+                # tick (only once their tail is fully encoded); when a
+                # stream stops progressing, a host mt_decode(-1) + one
+                # emission reproduces the sequential agent's one-shot finish
+                # exactly (greedy is deterministic: an EOS-stopped prefix
+                # re-predicts EOS and adds nothing)
+                if r["tail_ready"] and (r["hit_eos"] or not r["do_decode"]
+                                        or r["keep"] <= r["prev_tokens"]):
+                    drained.append(i)
+                continue
+            if not r["do_decode"]:
+                if r["grew"] and r["budget_over"]:
+                    # budget exceeded the fused scan — exact host
+                    # continuation for this one stream (rare)
+                    self._host_continue(bs, st, instances, i, fin)
+                continue
+            if not r["do_emit"]:
+                continue
+            if r["ok"]:
+                units, new_wav = r["units"], np.asarray(r["tail"])
+            else:
+                outs = bs.emit_tail([len(st[j].units) for j in range(b)])
+                units, new_wav, _ = outs[i]
+            if len(units) == 0 or len(units) <= len(st[i].units):
+                continue
+            st[i].units = list(units)
+            self._write(instances[i], st[i], new_wav, finished=False,
+                        target_finished=False)
+        if drained:
+            # exact sequential finish: decode whatever remains (usually
+            # nothing — the fused tranches already reached EOS/max_len),
+            # then ONE emission + final write per stream
+            budgets = np.zeros((b,), np.int64)
+            for i in drained:
+                budgets[i] = -1
+            bs.mt_decode(budgets, max_len=self.agent_cfg.max_len)
+            outs = bs.emit_tail([len(st[j].units) for j in range(b)])
+            for i in drained:
+                if not bs.mt_tokens[i]:
+                    self._write(instances[i], st[i], np.zeros((0,)),
+                                finished=True, target_finished=True)
+                    continue
+                units, new_wav, _ = outs[i]
+                if len(units) == 0 or len(units) <= len(st[i].units):
+                    self._write(instances[i], st[i], np.zeros((0,)),
+                                finished=True, target_finished=True)
+                    continue
+                st[i].units = list(units)
+                self._write(instances[i], st[i], new_wav, finished=True,
+                            target_finished=True)
+        return True
+
+    def _host_continue(self, bs, st, instances, i, fin) -> None:
+        """Exact host-path continuation for one stream whose decode budget
+        exceeded the fused scan length (mirrors the sequential agent's
+        fallback, agents/streamspeech.py _fused_action)."""
+        cfg = self.agent_cfg
+        hyps = bs.ctc_hypotheses(i)
+        stt_tokens, _ = hyps["st"]
+        subword = ((len(stt_tokens) - cfg.lagging_k1)
+                   // cfg.stride_n) * cfg.stride_n
+        if cfg.whole_word:
+            subword += 1
+        new_sub = subword - len(bs.mt_tokens[i])
+        if new_sub < 1:
+            return
+        budgets = np.zeros((bs.batch,), np.int64)
+        budgets[i] = new_sub
+        prev_tokens = list(bs.mt_tokens[i])
+        bs.mt_decode(budgets, max_len=cfg.max_len)
+        if cfg.whole_word and not fin:
+            toks = bs.mt_tokens[i]
+            j = 0
+            for j in range(len(toks) - 1, -1, -1):
+                if self.tgt_dict[toks[j]].startswith("▁"):
+                    break
+            bs.mt_truncate(i, j)
+            if j == 0:
+                return
+        if bs.mt_tokens[i] == prev_tokens or (
+                not fin and len(bs.mt_tokens[i]) <= len(prev_tokens)):
+            return
+        outs = bs.emit_tail([len(st[j].units) for j in range(bs.batch)])
+        units, new_wav, _ = outs[i]
+        if len(units) == 0 or len(units) <= len(st[i].units):
+            return
+        st[i].units = list(units)
+        self._write(instances[i], st[i], new_wav, finished=fin,
+                    target_finished=False)
+
+    # -- host path (complete; also the fallback) ---------------------------
+
+    def _tick_host(self, bs, st, instances, live) -> None:
         cfg = self.agent_cfg
         b = bs.batch
         # ---- policy phase: per-stream READ/WRITE decisions -> budgets ----
@@ -219,12 +375,20 @@ class BatchedS2STEvaluator(_BatchedStreamingEvaluator):
                 bs.mt_truncate(i, j)
                 if j == 0:
                     continue  # READ
-            if bs.mt_tokens[i] == prev_tokens or (
-                    not finished and
-                    len(bs.mt_tokens[i]) <= len(prev_tokens)):
-                if finished:
+            if finished:
+                # finished streams always go through the emission path: when
+                # the fused ticks deferred the finish emission, tokens may be
+                # fully decoded (== prev) yet never vocoded; emit_tail's
+                # cur_units check below yields the same empty final write as
+                # the sequential agent when nothing is actually pending
+                if not bs.mt_tokens[i]:
                     self._write(instances[i], st[i], np.zeros((0,)),
                                 finished=True, target_finished=True)
+                    continue
+                writers.append(i)
+                continue
+            if bs.mt_tokens[i] == prev_tokens or \
+                    len(bs.mt_tokens[i]) <= len(prev_tokens):
                 continue
             writers.append(i)
 

@@ -132,6 +132,127 @@ class BatchedStreamingSession:
                 "st": ctc_collapse(np.asarray(self.st_ids[stream]), blank=0)}
 
     # ------------------------------------------------------------------
+    # fused lockstep tick: ONE device round trip for ALL streams
+    # ------------------------------------------------------------------
+
+    def fused_tick(self, chunk: int, conv_chunk: int, k1: int, n: int,
+                   whole_word: bool, max_len: int, starts_word,
+                   src_len: np.ndarray, tgt_len: np.ndarray,
+                   n_prev_units: np.ndarray, active: np.ndarray,
+                   finished: np.ndarray) -> Optional[List[Dict]]:
+        """One lockstep policy tick through `engine._policy_step_batched`
+        (encode + gates + decode + rollback + emission for every stream in a
+        single RPC). Feed features via `push_features` first. Returns None
+        when the tick is not applicable — pending blocks out of lockstep, or
+        MT/encoder capacity exceeded — in which case the caller must run the
+        host path (`encode_ready_blocks` + `mt_decode` + `emit_tail`)."""
+        e = self.e
+        if getattr(e, "_policy_step_batched", None) is None:
+            return None
+        block_enc = math.lcm(max(chunk, 1), max(conv_chunk, 1))
+        block_frames = 4 * block_enc
+        steps = e.fused_steps
+        have = np.asarray([p.shape[0] for p in self.pending])
+        unfinished = ~np.asarray(self.finished_input)
+        # every active unfinished stream must hold exactly one full block
+        if (active & unfinished & ((have // block_frames) != 1)).any():
+            return None
+        if not ((active & (have > 0)).any()):
+            return None
+        lens = np.asarray([len(t) for t in self.mt_tokens])
+        if (lens[active] + steps).max(initial=0) > e.max_mt_tokens:
+            return None
+        if (self.enc_len[active] + block_enc).max(initial=0) > \
+                e.max_enc_frames:
+            return None
+
+        blocks = np.zeros((self.batch, block_frames, self.feat_dim),
+                          np.float32)
+        valid = np.zeros((self.batch,), np.int32)
+        # the finish decode may only start once the whole tail is encoded —
+        # i.e. this tick consumes the last pending frames
+        tail_ready = np.asarray(self.finished_input) & \
+            (have <= block_frames)
+        for i in range(self.batch):
+            if not active[i]:
+                self.pending[i] = self.pending[i][:0]
+                continue
+            nfr = min(have[i], block_frames)
+            blocks[i, :nfr] = self.pending[i][:nfr]
+            self.pending[i] = self.pending[i][nfr:]
+            valid[i] = nfr
+            if self.finished_input[i] and self.pending[i].shape[0] == 0:
+                self.tail_done[i] = True
+
+        max_len = min(max_len, e.max_mt_tokens - 2, e.mt_buckets[-1] - 2)
+        mt_cap = _bucket(min(int(lens.max(initial=0)) + steps + 2,
+                             e.mt_buckets[-1]), e.mt_buckets)
+        up = e.model.cfg.unit_decoder.ctc_upsample_rate
+        u_cap = _bucket(min(mt_cap * up, e.unit_buckets[-1]), e.unit_buckets)
+
+        mt_buf = np.full((self.batch, e.max_mt_tokens), PAD, np.int32)
+        for i, t in enumerate(self.mt_tokens):
+            if t:
+                mt_buf[i, : len(t)] = t
+        asr_count = np.asarray(
+            [len(ctc_collapse(np.asarray(ids), blank=0)[0])
+             for ids in self.asr_ids], np.int32)
+        st_count = np.asarray(
+            [len(ctc_collapse(np.asarray(ids), blank=0)[0])
+             for ids in self.st_ids], np.int32)
+        last_asr = np.asarray([ids[-1] if ids else -1
+                               for ids in self.asr_ids], np.int32)
+        last_st = np.asarray([ids[-1] if ids else -1
+                              for ids in self.st_ids], np.int32)
+
+        (self.enc_state, self.enc_buf, self.mt_self, self.mt_cross, mt_buf_d,
+         asr_ids, st_ids, keep, asr_count_d, st_count_d, _, _, units, count,
+         dur, tail, cur_len, flags) = e._policy_step_batched(
+            e.variables, e.vocoder_variables, blocks, valid,
+            np.asarray(self.enc_len, np.int32), self.enc_state, self.enc_buf,
+            self.mt_self, self.mt_cross, mt_buf, lens.astype(np.int32),
+            np.asarray(src_len, np.int32), np.asarray(tgt_len, np.int32),
+            asr_count, st_count, last_asr, last_st,
+            np.asarray(n_prev_units, np.int32), starts_word,
+            np.asarray(active, bool), np.asarray(finished, bool),
+            tail_ready,
+            chunk=chunk, conv_chunk=conv_chunk, whole_word=whole_word,
+            k1=k1, n=n, steps=steps, mt_cap=mt_cap, unit_capacity=u_cap,
+            window_frames=e.emit_window_frames, ctx_frames=e.emit_ctx_frames,
+            tail_cap=e.emit_tail_cap, max_len=max_len)
+
+        # ONE fetch for everything (tunnel RPC discipline, CLAUDE.md)
+        (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d, units,
+         count, dur, tail, cur_len, flags) = jax.device_get(
+            (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d,
+             units, count, dur, tail, cur_len, flags))
+
+        out: List[Dict] = []
+        out_valid = -(-valid // 4)
+        for i in range(self.batch):
+            ov = int(out_valid[i])
+            self.asr_ids[i].extend(asr_ids[i, :ov].tolist())
+            self.st_ids[i].extend(st_ids[i, :ov].tolist())
+            self.enc_len[i] += ov
+            r = {
+                "do_decode": bool(flags[i, 0]), "do_emit": bool(flags[i, 1]),
+                "ok": bool(flags[i, 2]), "budget_over": bool(flags[i, 3]),
+                "hit_eos": bool(flags[i, 4]), "grew": bool(flags[i, 5]),
+                "keep": int(keep[i]), "asr_count": int(asr_count_d[i]),
+                "st_count": int(st_count_d[i]), "count": int(count[i]),
+                "prev_tokens": int(lens[i]),
+                "tail_ready": bool(tail_ready[i]),
+            }
+            if r["do_decode"]:
+                self.mt_tokens[i] = mt_buf_d[i][: r["keep"]].tolist()
+            if r["do_emit"]:
+                r["units"] = units[i, : r["count"]].tolist()
+                r["dur"] = dur[i, : r["count"]]
+                r["tail"] = tail[i, : int(cur_len[i])]
+            out.append(r)
+        return out
+
+    # ------------------------------------------------------------------
     # MT decoding (per-example budgets/positions, one scanned call per round)
     # ------------------------------------------------------------------
 

@@ -501,6 +501,213 @@ class StreamSpeechEngine:
 
             self._policy_step = policy_step
 
+            @functools.partial(
+                jax.jit,
+                static_argnames=("chunk", "conv_chunk", "whole_word", "k1",
+                                 "n", "steps", "mt_cap", "unit_capacity",
+                                 "window_frames", "ctx_frames", "tail_cap",
+                                 "max_len"),
+                donate_argnums=(5, 6, 7, 8))
+            def policy_step_batched(variables, voc_vars, block, valid_len,
+                                    enc_len, enc_state, enc_buf, mt_self,
+                                    mt_cross, mt_buf, n_tokens, src_len,
+                                    tgt_len, asr_count, st_count, last_asr,
+                                    last_st, n_units, starts_word, active,
+                                    finished, tail_ready, chunk, conv_chunk,
+                                    whole_word, k1, n, steps, mt_cap,
+                                    unit_capacity, window_frames, ctx_frames,
+                                    tail_cap, max_len):
+                """Batched twin of `policy_step`: ONE device round trip
+                advances B lockstep streams — encode + CTC growth gates +
+                (cond) per-stream-budget MT decode + whole-word rollback +
+                batched unit synthesis + windowed vocode tails. Per-stream
+                vectors replace the scalars; `lax.cond` guards become
+                any-stream conds with per-example masking inside (a stream
+                that READs decodes with budget 0 and keeps its caches via the
+                per-example-index truncation). Finished streams (`finished`)
+                run the decode-to-EOS finish in tranches of `steps` tokens
+                per tick — the host loops ticks until they drain, then makes
+                the single final write like the sequential agent
+                (`agent/speech_to_speech.streamspeech.agent.py:422-770`).
+                """
+                from streamspeech_tpu.ops.ctc import ctc_collapse_device
+
+                B = block.shape[0]
+                enc, enc_state, asr_ids, st_ids = model.apply(
+                    variables, block, enc_state, chunk, conv_chunk, valid_len,
+                    method=StreamSpeechModel.encode_block_with_ctc)
+                s = enc.shape[1]
+                enc_buf = jax.lax.dynamic_update_slice(
+                    enc_buf, enc, (0, enc_state.pos - s, 0))
+                mt_cross = model.apply(variables, enc, mt_cross,
+                                       method=StreamSpeechModel.mt_fill_cross)
+                out_valid = -(-valid_len // 4)          # [B] new real frames
+                enc_len_new = enc_len + out_valid
+                cross_valid = (jnp.arange(enc_buf.shape[1])[None, :]
+                               < enc_len_new[:, None])
+
+                # dedup'd CTC growth per stream, only over the valid frames
+                posf = jnp.arange(s)[None, :]
+                valid_f = posf < out_valid[:, None]
+
+                def grow(count, last, ids):
+                    prev = jnp.concatenate([last[:, None], ids[:, :-1]],
+                                           axis=1)
+                    fresh = (ids != prev) & (ids != 0) & valid_f
+                    new_last = jnp.where(
+                        out_valid > 0,
+                        jnp.take_along_axis(
+                            ids, jnp.maximum(out_valid - 1, 0)[:, None],
+                            axis=1)[:, 0],
+                        last)
+                    return count + jnp.sum(fresh, axis=1), new_last
+
+                asr_count, last_asr = grow(asr_count, last_asr, asr_ids)
+                st_count, last_st = grow(st_count, last_st, st_ids)
+
+                grew = (asr_count >= src_len + n) & (st_count >= tgt_len + n)
+                subword = ((st_count - k1) // n) * n + \
+                    (1 if whole_word else 0)
+                budget_stream = subword - n_tokens
+                budget_fin = jnp.full_like(n_tokens, max_len) - n_tokens
+                budget = jnp.where(finished,
+                                   jnp.clip(budget_fin, 0, steps),
+                                   budget_stream)
+                # a finished stream starts its finish decode only once its
+                # ENTIRE tail is encoded this tick (tail_ready): the
+                # sequential agent ingests the whole tail before decoding, so
+                # earlier tranches would greedy-decode against a shorter
+                # encoder context and diverge
+                decode_wanted = jnp.where(finished,
+                                          (budget_fin >= 1) & tail_ready,
+                                          grew & (budget_stream >= 1))
+                budget_over = (~finished) & (budget_stream > steps)
+                room = n_tokens + steps <= mt_buf.shape[1]
+                do_decode = decode_wanted & ~budget_over & room & active
+
+                pos_mt = jnp.arange(mt_buf.shape[1], dtype=jnp.int32)
+
+                def decode_branch(ops):
+                    mt_self, mt_buf = ops
+                    feed = jnp.where(
+                        n_tokens > 0,
+                        jnp.take_along_axis(
+                            mt_buf, jnp.maximum(n_tokens - 1, 0)[:, None],
+                            axis=1)[:, 0],
+                        EOS)
+                    budgets = jnp.where(do_decode,
+                                        jnp.clip(budget, 0, steps), 0)
+                    toks, emitted, hit_eos, mt_self = model.apply(
+                        variables, feed, n_tokens, budgets, mt_self,
+                        mt_cross, steps, cross_valid,
+                        method=StreamSpeechModel.mt_decode_greedy)
+                    cand = jax.vmap(
+                        lambda row, t, off: jax.lax.dynamic_update_slice(
+                            row, t.astype(row.dtype), (off,))
+                    )(mt_buf, toks, n_tokens)
+                    n_total = n_tokens + emitted
+                    mt_buf = jnp.where(pos_mt[None] >= n_total[:, None],
+                                       mt_buf, cand)
+                    if whole_word:
+                        ws = starts_word[mt_buf] & \
+                            (pos_mt[None] < n_total[:, None])
+                        keep_ww = jnp.maximum(jnp.max(
+                            jnp.where(ws, pos_mt[None], -1), axis=1), 0)
+                        keep = jnp.where(finished, n_total, keep_ww)
+                    else:
+                        keep = n_total
+                    keep = jnp.where(do_decode, keep, n_tokens)
+                    mt_self = [kv.truncate(keep) for kv in mt_self]
+                    return mt_self, mt_buf, keep, hit_eos & do_decode
+
+                def skip_branch(ops):
+                    mt_self, mt_buf = ops
+                    return (mt_self, mt_buf, n_tokens,
+                            jnp.zeros((B,), bool))
+
+                mt_self, mt_buf, keep, hit_eos = jax.lax.cond(
+                    jnp.any(do_decode), decode_branch, skip_branch,
+                    (mt_self, mt_buf))
+
+                # finished streams decode in tranches but emit ONCE when
+                # drained (host calls emit_tail then) — per-tranche tails
+                # would re-synthesize earlier units from a shorter prefix and
+                # diverge from the sequential one-shot finish emission
+                do_emit = do_decode & (keep > n_tokens) & ~finished
+                cap = unit_capacity
+
+                def emit_branch(_):
+                    shifted = jnp.concatenate(
+                        [jnp.full((B, 1), EOS, mt_buf.dtype), mt_buf],
+                        axis=1)[:, :mt_cap]
+                    padded = jnp.where(
+                        pos_mt[None, :mt_cap] <= keep[:, None], shifted, PAD)
+                    ids = model.apply(
+                        variables, padded, enc_buf, enc_len_new,
+                        method=StreamSpeechModel.synthesize_units)[0]
+                    up = model.cfg.unit_decoder.ctc_upsample_rate
+                    ids = ids[:, : mt_cap * up]
+                    pv = (jnp.arange(ids.shape[1])[None]
+                          < ((keep + 1) * up)[:, None])
+                    is_unit = (ids >= nspecial) & (ids < unit_blank)
+                    ids = jnp.where(pv & is_unit, ids, unit_blank)
+                    units, count = ctc_collapse_device(ids, blank=unit_blank)
+                    codes = jnp.where(units == unit_blank, 0,
+                                      units - nspecial)
+                    count = jnp.minimum(count, cap)
+                    if cap > codes.shape[1]:
+                        codes = jnp.pad(codes,
+                                        ((0, 0), (0, cap - codes.shape[1])))
+                        units = jnp.pad(units,
+                                        ((0, 0), (0, cap - units.shape[1])),
+                                        constant_values=unit_blank)
+                    codes = codes[:, :cap]
+                    units = units[:, :cap]
+                    posu = jnp.arange(cap)[None, :]
+                    dur = vocoder.apply(voc_vars, codes,
+                                        method=CodeGenerator.predict_durations)
+                    dur = dur * (posu < count[:, None]).astype(jnp.int32)
+                    total = jnp.sum(dur, axis=1)
+                    need = jnp.sum(jnp.where(posu >= n_units[:, None],
+                                             dur, 0), axis=1)
+                    start = jnp.maximum(total - need - ctx_frames, 0)
+                    wav_win, n_valid = vocoder.apply(
+                        voc_vars, codes, dur, start, window_frames,
+                        method=CodeGenerator.vocode_window)
+                    cur_len = need * 320
+                    tail_start = n_valid * 320 - cur_len
+                    wav_pad = jnp.pad(wav_win, ((0, 0), (0, tail_cap)))
+                    tail = jax.vmap(
+                        lambda w, st: jax.lax.dynamic_slice(
+                            w, (st,), (tail_cap,)))(wav_pad, tail_start)
+                    ok = ((total - start) <= window_frames) & \
+                        (cur_len <= tail_cap)
+                    return units, count, dur, tail, cur_len, ok
+
+                def no_emit(_):
+                    return (jnp.full((B, cap), unit_blank, jnp.int32),
+                            jnp.zeros((B,), jnp.int32),
+                            jnp.zeros((B, cap), jnp.int32),
+                            jnp.zeros((B, tail_cap), jnp.float32),
+                            jnp.zeros((B,), jnp.int32),
+                            jnp.ones((B,), bool))
+
+                units, count, dur, tail, cur_len, ok = jax.lax.cond(
+                    jnp.any(do_emit), emit_branch, no_emit, None)
+
+                flags = jnp.stack([do_decode.astype(jnp.int32),
+                                   do_emit.astype(jnp.int32),
+                                   ok.astype(jnp.int32),
+                                   budget_over.astype(jnp.int32),
+                                   hit_eos.astype(jnp.int32),
+                                   grew.astype(jnp.int32)], axis=1)
+                return (enc_state, enc_buf, mt_self, mt_cross, mt_buf,
+                        asr_ids, st_ids, keep, asr_count, st_count,
+                        last_asr, last_st, units, count, dur, tail, cur_len,
+                        flags)
+
+            self._policy_step_batched = policy_step_batched
+
     def new_session(self) -> "StreamingSession":
         return StreamingSession(self)
 
