@@ -306,7 +306,8 @@ class BatchedStreamingSession:
         (unit dict-ids, wav, per-unit durations)."""
         assert self.e.vocoder is not None, "no vocoder configured"
         lens = [len(t) + 1 for t in self.mt_tokens]
-        s = _bucket(max(lens), self.e.mt_buckets)
+        s = _bucket(min(max(lens), self.e.mt_buckets[-1]),
+                    self.e.mt_buckets)
         prev = np.full((self.batch, s), PAD, np.int32)
         for i, t in enumerate(self.mt_tokens):
             prev[i, 0] = EOS
@@ -335,7 +336,8 @@ class BatchedStreamingSession:
         `emit` for any stream whose window/tail cap is exceeded (rare)."""
         assert self.e.vocoder is not None, "no vocoder configured"
         lens = [len(t) + 1 for t in self.mt_tokens]
-        s = _bucket(max(lens), self.e.mt_buckets)
+        s = _bucket(min(max(lens), self.e.mt_buckets[-1]),
+                    self.e.mt_buckets)
         prev = np.full((self.batch, s), PAD, np.int32)
         for i, t in enumerate(self.mt_tokens):
             prev[i, 0] = EOS

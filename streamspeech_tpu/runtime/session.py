@@ -384,7 +384,11 @@ class StreamSpeechEngine:
                         (st_count >= tgt_len + n)
                     subword = ((st_count - k1) // n) * n + \
                         (1 if whole_word else 0)
-                    budget = subword - n_tokens
+                    # the host path clamps the hypothesis at max_len
+                    # (mt_decode's `len < max_len` loop guard) — mirror it so
+                    # the streaming budget can never march past the bucket
+                    budget = jnp.minimum(subword - n_tokens,
+                                         max_len - n_tokens)
                     decode_wanted = grew & (budget >= 1)
                 else:
                     grew = jnp.asarray(True)
@@ -568,7 +572,11 @@ class StreamSpeechEngine:
                 grew = (asr_count >= src_len + n) & (st_count >= tgt_len + n)
                 subword = ((st_count - k1) // n) * n + \
                     (1 if whole_word else 0)
-                budget_stream = subword - n_tokens
+                # clamp at max_len like the host mt_decode loop guard — the
+                # streaming budget must never march the hypothesis past the
+                # mt bucket
+                budget_stream = jnp.minimum(subword - n_tokens,
+                                            max_len - n_tokens)
                 budget_fin = jnp.full_like(n_tokens, max_len) - n_tokens
                 budget = jnp.where(finished,
                                    jnp.clip(budget_fin, 0, steps),
@@ -1032,7 +1040,8 @@ class StreamingSession:
     def synthesize_units(self, unit_blank: int) -> List[int]:
         """Full-prefix NAR unit generation; returns collapsed unit dict-ids."""
         tokens = [EOS] + self.mt_tokens
-        s = _bucket(len(tokens), self.e.mt_buckets)
+        s = _bucket(min(len(tokens), self.e.mt_buckets[-1]),
+                    self.e.mt_buckets)
         padded = np.full((1, s), PAD, np.int32)
         padded[0, : len(tokens)] = tokens
         ids = self.e._synthesize(self.e.variables, padded,
@@ -1049,7 +1058,8 @@ class StreamingSession:
         Returns (unit dict-ids, full wav, per-unit durations)."""
         assert self.e.vocoder is not None, "no vocoder configured"
         tokens = [EOS] + self.mt_tokens
-        s = _bucket(len(tokens), self.e.mt_buckets)
+        s = _bucket(min(len(tokens), self.e.mt_buckets[-1]),
+                    self.e.mt_buckets)
         padded = np.full((1, s), PAD, np.int32)
         padded[0, : len(tokens)] = tokens
         u_bucket = _bucket(min(len(tokens) *
@@ -1074,7 +1084,8 @@ class StreamingSession:
         """
         assert self.e.vocoder is not None, "no vocoder configured"
         tokens = [EOS] + self.mt_tokens
-        s = _bucket(len(tokens), self.e.mt_buckets)
+        s = _bucket(min(len(tokens), self.e.mt_buckets[-1]),
+                    self.e.mt_buckets)
         padded = np.full((1, s), PAD, np.int32)
         padded[0, : len(tokens)] = tokens
         u_bucket = _bucket(min(len(tokens) *
