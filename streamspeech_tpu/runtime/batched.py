@@ -221,11 +221,34 @@ class BatchedStreamingSession:
             window_frames=e.emit_window_frames, ctx_frames=e.emit_ctx_frames,
             tail_cap=e.emit_tail_cap, max_len=max_len)
 
-        # ONE fetch for everything (tunnel RPC discipline, CLAUDE.md)
-        (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d, units,
-         count, dur, tail, cur_len, flags) = jax.device_get(
+        # Fetch strategy (tunnel RPC discipline, CLAUDE.md): a round trip
+        # costs ~35 ms and fetch bandwidth ~47 MB/s. The wav tails are
+        # B x tail_cap floats — for small waves one combined fetch wins; once
+        # the tail payload alone exceeds ~an RTT of bandwidth, fetch the
+        # small bundle first and ride a second RPC for the tails only on
+        # ticks where some stream actually emitted.
+        tail_bytes = self.batch * self.e.emit_tail_cap * 4
+        if tail_bytes <= getattr(self.e, "split_fetch_bytes", 2_000_000):
+            (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d, units,
+             count, dur, tail, cur_len, flags) = jax.device_get(
+                (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d,
+                 units, count, dur, tail, cur_len, flags))
+            tails = [tail[i, : int(cur_len[i])] for i in range(self.batch)]
+        else:
             (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d,
-             units, count, dur, tail, cur_len, flags))
+             count, cur_len, flags) = jax.device_get(
+                (mt_buf_d, asr_ids, st_ids, keep, asr_count_d, st_count_d,
+                 count, cur_len, flags))
+            if flags[:, 1].any():
+                # slice each stream's VALID tail samples on device (cur_len
+                # is host-known now, so these are cheap static slices) and
+                # batch-fetch only those bytes in the second RPC
+                units, dur, *tails = jax.device_get(
+                    (units, dur, *[tail[i, : int(cur_len[i])]
+                                   for i in range(self.batch)]))
+            else:
+                units = dur = None
+                tails = [np.zeros((0,), np.float32)] * self.batch
 
         out: List[Dict] = []
         out_valid = -(-valid // 4)
@@ -248,7 +271,7 @@ class BatchedStreamingSession:
             if r["do_emit"]:
                 r["units"] = units[i, : r["count"]].tolist()
                 r["dur"] = dur[i, : r["count"]]
-                r["tail"] = tail[i, : int(cur_len[i])]
+                r["tail"] = tails[i]
             out.append(r)
         return out
 

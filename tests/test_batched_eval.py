@@ -105,6 +105,39 @@ def test_batched_evaluator_matches_sequential(stack, tmp_path):
                                        err_msg=f"instance {i} wav differs")
 
 
+def test_batched_evaluator_split_fetch_matches_sequential(stack):
+    """Large waves fetch the wav tails in a second, emit-only RPC
+    (runtime/batched.py fused_tick split path) — force the split with a zero
+    threshold and assert exactness is unchanged."""
+    cfg, engine, src_dict, unit_dict = stack
+    agent_cfg = StreamSpeechAgentConfig(source_segment_size=320)
+    rng = np.random.RandomState(12)
+    sources = [list(rng.uniform(-0.3, 0.3, n)) for n in (11200, 14000)]
+    refs = ["dummy"] * len(sources)
+
+    agent = StreamSpeechS2STAgent(engine, agent_cfg, src_dict, src_dict,
+                                  unit_dict)
+    seq = SentenceLevelEvaluator(agent, source_segment_size=320,
+                                 quality_metrics=[])
+    seq(sources, refs)
+
+    engine.split_fetch_bytes = 0
+    try:
+        bat = BatchedS2STEvaluator(engine, agent_cfg, src_dict, src_dict,
+                                   unit_dict, batch=2, quality_metrics=[])
+        bat(sources, refs)
+    finally:
+        del engine.split_fetch_bytes
+    assert any(len(ins.delays) > 0 for ins in seq.instances.values())
+    for i in seq.instances:
+        assert seq.instances[i].summarize()["delays"] == \
+            bat.instances[i].summarize()["delays"], i
+        for wa, wb in zip(seq.instances[i].prediction_list,
+                          bat.instances[i].prediction_list):
+            np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                       rtol=1e-4, atol=1e-5, err_msg=str(i))
+
+
 def test_batched_evaluator_host_path_matches_sequential(stack, tmp_path):
     """use_fused=False forces the multi-RPC host tick (also the fallback for
     engines without the fused batched program) — must stay exact too."""
