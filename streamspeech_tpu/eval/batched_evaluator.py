@@ -420,11 +420,110 @@ class BatchedS2STEvaluator(_BatchedStreamingEvaluator):
 
 class BatchedS2TTEvaluator(_BatchedStreamingEvaluator):
     """Wave-batched simultaneous speech-to-text translation
-    (sequential policy: agents/streamspeech.py:219-263)."""
+    (sequential policy: agents/streamspeech.py:219-263). With a fused-capable
+    engine each lockstep tick costs ONE RPC (`policy_step_batched` with
+    `with_emission=False` — the vocoder stage is skipped wholesale)."""
 
     target_type = "text"
 
+    def __init__(self, engine, agent_cfg, src_dict, tgt_dict, gcmvn=None,
+                 batch: int = 8, use_fused: bool = True, **evaluator_kwargs):
+        super().__init__(engine, agent_cfg, src_dict, tgt_dict, gcmvn, batch,
+                         **evaluator_kwargs)
+        self.use_fused = use_fused and \
+            getattr(engine, "_policy_step_batched", None) is not None
+        self._starts_word = None
+        if self.use_fused:
+            import jax.numpy as jnp
+            # whole_word is False for S2TT; the program still takes the table
+            self._starts_word = jnp.zeros(
+                (engine.model.cfg.mt_decoder.vocab_size,), bool)
+
     def _tick(self, bs, st, instances, live) -> None:
+        if self.use_fused:
+            if self._tick_fused(bs, st, instances, live):
+                return
+            bs.encode_ready_blocks(self.agent_cfg.chunk_size,
+                                   self.agent_cfg.conv_chunk_size)
+        self._tick_host(bs, st, instances, live)
+
+    def _tick_fused(self, bs, st, instances, live) -> bool:
+        cfg = self.agent_cfg
+        b = bs.batch
+        live_set = set(live)
+        active = np.asarray([i in live_set and not st[i].done
+                             for i in range(b)])
+        finished = np.asarray([instances[i].source_finished_reading
+                               for i in range(b)])
+        out = bs.fused_tick(
+            cfg.chunk_size, cfg.conv_chunk_size, cfg.lagging_k1,
+            cfg.stride_n, False, cfg.max_len, self._starts_word,
+            np.asarray([st[i].src_ctc_prefix_length for i in range(b)]),
+            np.asarray([st[i].tgt_ctc_prefix_length for i in range(b)]),
+            np.zeros((b,), np.int32), active, finished,
+            with_emission=False)
+        if out is None:
+            return False
+        drained = []
+        for i in live:
+            r = out[i]
+            fin = bool(finished[i])
+            if r["grew"]:
+                st[i].src_ctc_prefix_length = max(
+                    r["asr_count"], st[i].src_ctc_prefix_length)
+                st[i].tgt_ctc_prefix_length = max(
+                    r["st_count"], st[i].tgt_ctc_prefix_length)
+            if fin and int(bs.enc_len[i]) == 0:
+                self._write_text(instances[i], st[i], "", True)
+                continue
+            if fin:
+                if r["tail_ready"] and (r["hit_eos"] or not r["do_decode"]
+                                        or r["keep"] <= r["prev_tokens"]):
+                    drained.append(i)
+                continue
+            if not r["do_decode"]:
+                if r["grew"] and r["budget_over"]:
+                    self._host_continue(bs, st, instances, i)
+                continue
+            if r["keep"] <= r["prev_tokens"]:
+                continue  # READ (tokens unchanged)
+            self._emit_text_diff(bs, st, instances, i, finished=False)
+        if drained:
+            budgets = np.zeros((b,), np.int64)
+            for i in drained:
+                budgets[i] = -1
+            bs.mt_decode(budgets, max_len=cfg.max_len)
+            for i in drained:
+                self._emit_text_diff(bs, st, instances, i, finished=True)
+        return True
+
+    def _emit_text_diff(self, bs, st, instances, i, finished: bool) -> None:
+        full_text = spm_text(self.tgt_dict, bs.mt_tokens[i])
+        new_text = full_text[len(st[i].emitted_text):].strip() \
+            if full_text.startswith(st[i].emitted_text) else full_text
+        st[i].emitted_text = full_text
+        if not new_text and not finished:
+            return
+        self._write_text(instances[i], st[i], new_text, finished)
+
+    def _host_continue(self, bs, st, instances, i) -> None:
+        """Exact host continuation when the budget exceeds the fused scan."""
+        cfg = self.agent_cfg
+        stt_tokens, _ = bs.ctc_hypotheses(i)["st"]
+        subword = ((len(stt_tokens) - cfg.lagging_k1)
+                   // cfg.stride_n) * cfg.stride_n
+        new_sub = subword - len(bs.mt_tokens[i])
+        if new_sub < 1:
+            return
+        budgets = np.zeros((bs.batch,), np.int64)
+        budgets[i] = new_sub
+        prev = list(bs.mt_tokens[i])
+        bs.mt_decode(budgets, max_len=cfg.max_len)
+        if bs.mt_tokens[i] == prev:
+            return
+        self._emit_text_diff(bs, st, instances, i, finished=False)
+
+    def _tick_host(self, bs, st, instances, live) -> None:
         cfg = self.agent_cfg
         b = bs.batch
         budgets = np.zeros((b,), np.int64)

@@ -139,7 +139,8 @@ class BatchedStreamingSession:
                    whole_word: bool, max_len: int, starts_word,
                    src_len: np.ndarray, tgt_len: np.ndarray,
                    n_prev_units: np.ndarray, active: np.ndarray,
-                   finished: np.ndarray) -> Optional[List[Dict]]:
+                   finished: np.ndarray,
+                   with_emission: bool = True) -> Optional[List[Dict]]:
         """One lockstep policy tick through `engine._policy_step_batched`
         (encode + gates + decode + rollback + emission for every stream in a
         single RPC). Feed features via `push_features` first. Returns None
@@ -219,7 +220,8 @@ class BatchedStreamingSession:
             chunk=chunk, conv_chunk=conv_chunk, whole_word=whole_word,
             k1=k1, n=n, steps=steps, mt_cap=mt_cap, unit_capacity=u_cap,
             window_frames=e.emit_window_frames, ctx_frames=e.emit_ctx_frames,
-            tail_cap=e.emit_tail_cap, max_len=max_len)
+            tail_cap=e.emit_tail_cap, max_len=max_len,
+            with_emission=with_emission)
 
         # Fetch strategy (tunnel RPC discipline, CLAUDE.md): a round trip
         # costs ~35 ms and fetch bandwidth ~47 MB/s. The wav tails are

@@ -510,7 +510,7 @@ class StreamSpeechEngine:
                 static_argnames=("chunk", "conv_chunk", "whole_word", "k1",
                                  "n", "steps", "mt_cap", "unit_capacity",
                                  "window_frames", "ctx_frames", "tail_cap",
-                                 "max_len"),
+                                 "max_len", "with_emission"),
                 donate_argnums=(5, 6, 7, 8))
             def policy_step_batched(variables, voc_vars, block, valid_len,
                                     enc_len, enc_state, enc_buf, mt_self,
@@ -520,7 +520,7 @@ class StreamSpeechEngine:
                                     finished, tail_ready, chunk, conv_chunk,
                                     whole_word, k1, n, steps, mt_cap,
                                     unit_capacity, window_frames, ctx_frames,
-                                    tail_cap, max_len):
+                                    tail_cap, max_len, with_emission=True):
                 """Batched twin of `policy_step`: ONE device round trip
                 advances B lockstep streams — encode + CTC growth gates +
                 (cond) per-stream-budget MT decode + whole-word rollback +
@@ -642,6 +642,8 @@ class StreamSpeechEngine:
                 # would re-synthesize earlier units from a shorter prefix and
                 # diverge from the sequential one-shot finish emission
                 do_emit = do_decode & (keep > n_tokens) & ~finished
+                if not with_emission:   # text-output serving (S2TT) skips
+                    do_emit = jnp.zeros_like(do_emit)   # the vocoder wholesale
                 cap = unit_capacity
 
                 def emit_branch(_):

@@ -208,10 +208,14 @@ def test_batched_s2tt_and_asr_match_sequential(stack, tmp_path):
     refs = ["dummy"] * len(sources)
 
     for name, agent, bat in (
-        ("s2tt",
+        ("s2tt",   # fused one-RPC tick (with_emission=False program)
          StreamSpeechS2TTAgent(engine, agent_cfg, src_dict, src_dict),
          BatchedS2TTEvaluator(engine, agent_cfg, src_dict, src_dict, batch=3,
                               quality_metrics=[])),
+        ("s2tt-host",
+         StreamSpeechS2TTAgent(engine, agent_cfg, src_dict, src_dict),
+         BatchedS2TTEvaluator(engine, agent_cfg, src_dict, src_dict, batch=3,
+                              use_fused=False, quality_metrics=[])),
         ("asr",
          StreamSpeechASRAgent(engine, agent_cfg, src_dict),
          BatchedASREvaluator(engine, agent_cfg, src_dict, src_dict, batch=3,
