@@ -45,15 +45,9 @@ def main():
     fwd = bm.measure_forward(model, variables)
     extras.update({k: round(v, 3) for k, v in fwd.items()})
 
-    if not fast:
-        try:
-            print("bench: train step...", file=sys.stderr, flush=True)
-            tr = bm.measure_train_step()
-            extras.update({k: (round(v, 4) if isinstance(v, float) else v)
-                           for k, v in tr.items()})
-        except Exception:
-            traceback.print_exc()
-
+    # stage order is deadline-aware: headline (pipeline) + its provisional
+    # print first, then serving, then the compile-heavy train step LAST — a
+    # harness that kills a long run still parses the important lines
     pipeline_x = None
     if not fast:
         try:
@@ -100,6 +94,22 @@ def main():
                                                seconds=8.0, verbose=True)
             extras.update({k: (round(v, 3) if isinstance(v, float) else v)
                            for k, v in sv.items()})
+        except Exception:
+            traceback.print_exc()
+        if pipeline_x is not None:
+            # second provisional (now with serving + nosync extras)
+            print(json.dumps({
+                "metric": "s2st_pipeline_xrealtime",
+                "value": round(pipeline_x, 3),
+                "unit": "x_realtime_320ms_chunks",
+                "vs_baseline": round(pipeline_x * 1.326, 3),
+                "extras": dict(extras),
+            }), flush=True)
+        try:
+            print("bench: train step...", file=sys.stderr, flush=True)
+            tr = bm.measure_train_step()
+            extras.update({k: (round(v, 4) if isinstance(v, float) else v)
+                           for k, v in tr.items()})
         except Exception:
             traceback.print_exc()
 
