@@ -25,6 +25,9 @@ def main():
     ap.add_argument("--batch", type=int, nargs="+", default=[4, 8, 16])
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--bf16", action="store_true",
+                    help="bf16 compute dtype (fp32 params); ~2x MXU "
+                         "throughput, near-tie argmax may flip")
     args = ap.parse_args()
 
     if args.cpu:
@@ -33,7 +36,11 @@ def main():
 
     from streamspeech_tpu import benchmarks as bm
 
-    model, variables = bm.build_full_model()
+    dtype = None
+    if args.bf16:
+        import jax.numpy as jnp
+        dtype = jnp.bfloat16
+    model, variables = bm.build_full_model(dtype=dtype)
     for b in args.batch:
         r = bm.measure_batched_throughput(model, variables, batch=b,
                                           seconds=args.seconds, verbose=True)

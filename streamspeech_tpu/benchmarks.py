@@ -48,9 +48,11 @@ def chip_peak_flops() -> Optional[float]:
     return None
 
 
-def build_full_model(seed: int = 0):
+def build_full_model(seed: int = 0, dtype=None):
     """Init the flagship simul-s2st model under jit (unjitted init dispatches
-    hundreds of tiny ops — minutes over the remote tunnel)."""
+    hundreds of tiny ops — minutes over the remote tunnel). `dtype` sets the
+    COMPUTE dtype (params stay fp32) — bf16 roughly halves serving compute on
+    the MXU at the cost of near-tie argmax flips (opt-in, see CLAUDE.md)."""
     import jax
     import jax.numpy as jnp
 
@@ -58,7 +60,7 @@ def build_full_model(seed: int = 0):
     from streamspeech_tpu.train.synthetic import full_config
 
     cfg = full_config()
-    model = StreamSpeechModel(cfg)
+    model = StreamSpeechModel(cfg, dtype=dtype or jnp.float32)
     src = jnp.zeros((1, 64, 80))
     init = jax.jit(lambda r: model.init(
         {"params": r}, src, jnp.full((1,), 64, jnp.int32),

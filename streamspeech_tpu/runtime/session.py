@@ -88,7 +88,8 @@ class StreamSpeechEngine:
                 variables, block, state, chunk, conv_chunk, valid_len,
                 method=StreamSpeechModel.encode_block_with_ctc)
             enc_buf = jax.lax.dynamic_update_slice(
-                enc_buf, enc, (0, state.pos - enc.shape[1], 0))
+                enc_buf, enc.astype(enc_buf.dtype),
+                (0, state.pos - enc.shape[1], 0))
             return enc, state, enc_buf, asr_ids, st_ids
 
         self._encode_block = encode_block
@@ -364,7 +365,8 @@ class StreamSpeechEngine:
                     variables, block, enc_state, chunk, conv_chunk, valid_len,
                     method=StreamSpeechModel.encode_block_with_ctc)
                 enc_buf = jax.lax.dynamic_update_slice(
-                    enc_buf, enc, (0, enc_state.pos - enc.shape[1], 0))
+                    enc_buf, enc.astype(enc_buf.dtype),
+                    (0, enc_state.pos - enc.shape[1], 0))
                 mt_cross = model.apply(variables, enc, mt_cross,
                                        method=StreamSpeechModel.mt_fill_cross)
 
@@ -542,7 +544,8 @@ class StreamSpeechEngine:
                     method=StreamSpeechModel.encode_block_with_ctc)
                 s = enc.shape[1]
                 enc_buf = jax.lax.dynamic_update_slice(
-                    enc_buf, enc, (0, enc_state.pos - s, 0))
+                    enc_buf, enc.astype(enc_buf.dtype),
+                    (0, enc_state.pos - s, 0))
                 mt_cross = model.apply(variables, enc, mt_cross,
                                        method=StreamSpeechModel.mt_fill_cross)
                 out_valid = -(-valid_len // 4)          # [B] new real frames
