@@ -118,10 +118,34 @@ def main():
 
     per_write = t_enc + t_fill + t_mt + t_emit
     per_read = t_enc + t_fill
-    print(f"\nWRITE chunk ≈ {per_write:.1f} ms | READ chunk ≈ {per_read:.1f} ms "
-          f"| tunnel floor ≈ {t_noop:.1f} ms/sync")
-    print(f"320 ms chunks → max RTF (all-WRITE): {320 / per_write:.1f}x, "
-          f"(all-READ): {320 / per_read:.1f}x")
+    print(f"\nhost-path WRITE chunk ≈ {per_write:.1f} ms | READ chunk ≈ "
+          f"{per_read:.1f} ms | tunnel floor ≈ {t_noop:.1f} ms/sync")
+
+    # --- the ACTUAL serving path: one fused policy_step per chunk
+    # (runtime/session.py policy_step — encode + gates + cond decode + cond
+    # emit + ONE batched fetch). This is what the agent pays per chunk.
+    sess2 = e.new_session()
+    table = jnp.zeros((cfg.mt_decoder.vocab_size,), bool)
+    block_np = np.random.RandomState(1).randn(32, 80).astype(np.float32)
+
+    def fused_call():
+        out = sess2.fused_policy(block_np, 8, 8, k1=0, n=1,
+                                 whole_word=False, max_len=60,
+                                 starts_word=table, src_len=10 ** 6,
+                                 tgt_len=10 ** 6, n_prev_units=0)
+        if out is None:  # ran out of encoder capacity: fresh session
+            sess2.__init__(e)
+            out = sess2.fused_policy(block_np, 8, 8, k1=0, n=1,
+                                     whole_word=False, max_len=60,
+                                     starts_word=table, src_len=10 ** 6,
+                                     tgt_len=10 ** 6, n_prev_units=0)
+        return out
+
+    t_fused = timeit(fused_call, args.iters, fetch=lambda out: out)
+    print(f"fused policy_step (READ)     : {t_fused:8.2f} ms  "
+          f"(~{t_fused - t_noop:.1f} ms over the tunnel floor)")
+    print(f"320 ms chunks → fused single-stream RTF ≈ {320 / t_fused:.1f}x; "
+          f"host-path all-WRITE would be {320 / per_write:.1f}x")
 
 
 if __name__ == "__main__" and "--fused" not in sys.argv:
