@@ -105,6 +105,36 @@ def test_batched_evaluator_matches_sequential(stack, tmp_path):
                                        err_msg=f"instance {i} wav differs")
 
 
+def test_batched_evaluator_whole_word_matches_sequential(stack):
+    """whole_word=True exercises the device-side word-start rollback of the
+    fused batched program (policy_step_batched starts_word path)."""
+    cfg, engine, src_dict, unit_dict = stack
+    agent_cfg = StreamSpeechAgentConfig(source_segment_size=640,
+                                        whole_word=True)
+    rng = np.random.RandomState(13)
+    sources = [list(rng.uniform(-0.3, 0.3, n)) for n in (12800, 19200)]
+    refs = ["dummy"] * len(sources)
+
+    agent = StreamSpeechS2STAgent(engine, agent_cfg, src_dict, src_dict,
+                                  unit_dict)
+    seq = SentenceLevelEvaluator(agent, source_segment_size=640,
+                                 quality_metrics=[])
+    seq(sources, refs)
+    bat = BatchedS2STEvaluator(engine, agent_cfg, src_dict, src_dict,
+                               unit_dict, batch=2, quality_metrics=[])
+    assert bat.use_fused
+    bat(sources, refs)
+    assert any(len(ins.delays) > 0 for ins in seq.instances.values()), \
+        "vacuous: whole-word policy never wrote"
+    for i in seq.instances:
+        assert seq.instances[i].summarize()["delays"] == \
+            bat.instances[i].summarize()["delays"], i
+        for wa, wb in zip(seq.instances[i].prediction_list,
+                          bat.instances[i].prediction_list):
+            np.testing.assert_allclose(np.asarray(wa), np.asarray(wb),
+                                       rtol=1e-4, atol=1e-5, err_msg=str(i))
+
+
 def test_batched_evaluator_split_fetch_matches_sequential(stack):
     """Large waves fetch the wav tails in a second, emit-only RPC
     (runtime/batched.py fused_tick split path) — force the split with a zero
