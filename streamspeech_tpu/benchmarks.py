@@ -189,16 +189,28 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
 
 def doctor_streaming_params(variables):
     """Bias random weights so the CTC policy actually WRITEs — otherwise a
-    streaming benchmark measures only the all-READ path (vacuous latency)."""
-    p = variables["params"]
+    streaming benchmark measures only the all-READ path (vacuous latency).
+
+    The caller's pytree is NOT mutated: the dicts along the touched paths
+    are shallow-copied, so ``variables`` stays usable for undoctored runs.
+    """
+    variables = dict(variables)
+    p = dict(variables["params"])
+    variables["params"] = p
     for head in ("source_unigram_head", "ctc_target_unigram_head"):
+        p[head] = {**p[head], "proj": dict(p[head]["proj"])}
         b = p[head]["proj"]["bias"]
         # idempotent (callers may doctor the same variables twice)
         p[head]["proj"]["bias"] = b.at[0].set(-8.0)
-    p["mt_decoder"]["embed_tokens"] = \
-        p["mt_decoder"]["embed_tokens"].at[:4].set(0.0)
-    p["unit_decoder"]["embed_tokens"] = \
-        p["unit_decoder"]["embed_tokens"].at[:4].set(0.0).at[-1].set(0.0)
+    p["mt_decoder"] = {
+        **p["mt_decoder"],
+        "embed_tokens": p["mt_decoder"]["embed_tokens"].at[:4].set(0.0),
+    }
+    p["unit_decoder"] = {
+        **p["unit_decoder"],
+        "embed_tokens":
+            p["unit_decoder"]["embed_tokens"].at[:4].set(0.0).at[-1].set(0.0),
+    }
     return variables
 
 

@@ -31,9 +31,10 @@ from __future__ import annotations
 from typing import Tuple
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
-BIG = jnp.int32(1 << 20)
+BIG = np.int32(1 << 20)  # plain host constant; tracing converts (no eager RPC)
 
 
 def levenshtein_dp(src: jnp.ndarray, tgt: jnp.ndarray, sub_cost: int = 2

@@ -242,6 +242,11 @@ def train_unigram(sentences, vocab_size: int = 6000, max_piece_len: int = 16,
         for i in range(n):
             for j in range(i + 2, min(n, i + max_piece_len) + 1):
                 substr[s[i:j]] += f
+    if len(required) + 3 > vocab_size:
+        raise ValueError(
+            f"vocab_size={vocab_size} too small: corpus has {len(required)} "
+            f"distinct characters (+3 reserved pieces); pruning keeps all "
+            f"single characters so the target can never be reached")
     n_seed = max(seed_factor * vocab_size, 256)
     seeds = {p: c for p, c in substr.items() if c >= 2}
     top = sorted(seeds.items(), key=lambda kv: (-kv[1] * len(kv[0]), kv[0]))
@@ -337,10 +342,11 @@ def train_unigram(sentences, vocab_size: int = 6000, max_piece_len: int = 16,
                    min(target, len(vocab)))
         keep_extra = keep - len(required)
         kept = {p for _, p in losses[:max(keep_extra, 0)]}
+        before = len(vocab)
         vocab = {p: sc for p, sc in vocab.items()
                  if len(p) == 1 or p in kept}
-        if len(vocab) <= target:
-            break
+        if len(vocab) <= target or len(vocab) == before:
+            break  # done, or prune made no progress (only chars remain)
 
     learned = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))[:target]
     pieces = [(unk_piece, 0.0, _UNKNOWN), (bos_piece, 0.0, _CONTROL),

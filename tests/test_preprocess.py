@@ -88,6 +88,18 @@ def test_spm_train_unigram(tmp_path):
     assert spm2.encode_as_pieces("the cat sat") == spm.encode_as_pieces("the cat sat")
 
 
+def test_spm_train_rejects_tiny_vocab():
+    """vocab_size smaller than the corpus character set must raise up front
+    instead of looping forever (pruning keeps all single characters)."""
+    import pytest
+
+    from streamspeech_tpu.tokenizer import train_unigram
+
+    corpus = ["abcdefghijklmnop qrstuvwxyz0123"] * 3
+    with pytest.raises(ValueError, match="distinct characters"):
+        train_unigram(corpus, vocab_size=10, max_piece_len=4)
+
+
 def test_spm_train_cli(tmp_path):
     corpus = tmp_path / "text.txt"
     corpus.write_text("\n".join(["ab ab ba", "ba ab ab", "ab ba ba"] * 3))

@@ -814,16 +814,18 @@ def test_abs_encoder_adds_fairseq_positions():
     out, out_lens = enc.apply(variables, src, lens, chunk_size=4,
                               conv_chunk_size=4)
     assert np.isfinite(np.asarray(out)).all()
-    # position injection changes the output (an encoder whose table is zeroed
-    # behaves like the old positionless abs mode)
-    zeroed = jax.tree.map(lambda x: x, variables)
     table = sinusoidal_embedding(cfg.encoder.max_source_positions + 2,
                                  cfg.encoder.embed_dim, 1)
     assert table[1].sum() == 0.0  # padding row is zeros
-    out2, _ = enc.apply(variables, src * 0.0 + src, lens, chunk_size=4,
-                        conv_chunk_size=4)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=0,
-                               atol=0)  # deterministic
+    # position injection changes the output: ablate the table to zeros (the
+    # old positionless abs mode) and require a different encoder output
+    from unittest import mock
+    with mock.patch(
+            "streamspeech_tpu.models.conformer.sinusoidal_embedding",
+            lambda *a, **k: np.zeros_like(sinusoidal_embedding(*a, **k))):
+        ablated, _ = enc.apply(variables, src, lens, chunk_size=4,
+                               conv_chunk_size=4)
+    assert np.abs(np.asarray(out) - np.asarray(ablated)).max() > 1e-3
 
     # incremental == offline for abs mode (positions at absolute offsets)
     t_out = frames // 4
