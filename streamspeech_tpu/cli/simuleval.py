@@ -69,7 +69,18 @@ def main(argv=None):
                         "--remote-address of a --standalone server")
     p.add_argument("--remote-address", type=str, default="http://127.0.0.1:7861")
     p.add_argument("--remote-port", type=int, default=7861)
+    p.add_argument("--slurm", action="store_true", default=False,
+                   help="submit this evaluation as a slurm job instead of "
+                        "running it (writes output/script.sh, runs sbatch)")
+    p.add_argument("--slurm-partition", type=str, default="learnaccel",
+                   help="slurm partition (`simuleval/options.py` default)")
+    p.add_argument("--slurm-time", type=str, default="2:00:00")
+    p.add_argument("--slurm-job-name", type=str, default="simuleval")
     args = p.parse_args(argv)
+
+    if args.slurm:
+        submit_slurm_job(args, argv)
+        return
 
     if args.score_only:
         from streamspeech_tpu.eval.evaluator import SentenceLevelEvaluator as SE
@@ -192,6 +203,69 @@ def main(argv=None):
                 continue_unfinished=args.continue_unfinished)
     for k, v in scores.items():
         print(f"{k}\t{v:.3f}" if v == v else f"{k}\tnan")
+
+
+def submit_slurm_job(args, argv=None) -> str:
+    """Generate and submit an sbatch script re-invoking this CLI without
+    `--slurm` (`SimulEval/simuleval/utils/slurm.py:31-121` semantics: strip
+    the slurm flags, force `--output` to the absolute results dir, write
+    `output/script.sh`, run `sbatch`). One TPU host per job replaces the
+    reference's one-GPU-per-task layout. Returns the script path; a missing
+    `sbatch` binary is reported but does not fail (so the script can be
+    generated on a login-less box and submitted elsewhere)."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    out = os.path.abspath(args.output or "simuleval_results")
+    os.makedirs(out, exist_ok=True)
+
+    cli = argv if argv is not None else sys.argv[1:]
+    # strip --slurm and the --slurm-* option values, pin --output
+    kept, skip = [], False
+    for tok in cli:
+        if skip:
+            skip = False
+            continue
+        if tok == "--slurm":
+            continue
+        if tok.startswith("--slurm-"):
+            skip = "=" not in tok
+            continue
+        kept.append(tok if tok.startswith("--") or str(tok).isdigit()
+                    else f'"{tok}"')
+    command = f"{sys.executable} -m streamspeech_tpu.cli.simuleval " + \
+        " ".join(kept)
+    if "--output" in command:
+        command = re.sub(r"--output\s+\S+", f'--output "{out}"', command)
+    else:
+        command += f' --output "{out}"'
+    command = command.replace(" --", " \\\n\t--")
+
+    script = f"""#!/bin/bash
+#SBATCH --time={args.slurm_time}
+#SBATCH --partition={args.slurm_partition}
+#SBATCH --nodes=1
+#SBATCH --ntasks-per-node=1
+#SBATCH --output="{out}/slurm-%j.log"
+#SBATCH --job-name="{args.slurm_job_name}"
+
+cd {out}
+
+{command}
+"""
+    script_file = os.path.join(out, "script.sh")
+    with open(script_file, "w") as f:
+        f.write(script)
+    try:
+        proc = subprocess.run(["sbatch", script_file], capture_output=True)
+        print(f"sbatch stdout: {proc.stdout.decode().strip()}")
+        if proc.stderr:
+            print(f"sbatch stderr: {proc.stderr.decode().strip()}")
+    except FileNotFoundError:
+        print(f"sbatch not found; job script written to {script_file}")
+    return script_file
 
 
 if __name__ == "__main__":

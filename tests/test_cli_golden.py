@@ -133,3 +133,32 @@ def test_generate_cli_golden(golden_dir, capsys):
     assert len(units_txt) == 2
     # doctored model must produce at least one unit somewhere (non-vacuous)
     assert any(line.strip() for line in units_txt)
+
+
+def test_simuleval_slurm_submit(golden_dir, tmp_path, capsys):
+    """--slurm writes output/script.sh re-invoking the CLI without the slurm
+    flags, output pinned to the absolute results dir
+    (`SimulEval/simuleval/utils/slurm.py:31-121`); sbatch absence is
+    tolerated (script generation is the testable part)."""
+    from streamspeech_tpu.cli.simuleval import main
+
+    root, cfg, n_units = golden_dir
+    out = tmp_path / "slurm_out"
+    argv = ["--source", str(root / "wav_list.txt"),
+            "--target", str(root / "target.txt"),
+            "--checkpoint", str(root / "ck" / "checkpoint_0"),
+            "--agent", "asr",
+            "--src-dict", str(root / "dict.txt"),
+            "--output", str(out),
+            "--slurm", "--slurm-partition", "tpu",
+            "--slurm-time", "1:00:00", "--slurm-job-name", "ss-eval"]
+    main(argv)
+    script = (out / "script.sh").read_text()
+    assert "#SBATCH --partition=tpu" in script
+    assert "#SBATCH --time=1:00:00" in script
+    assert '#SBATCH --job-name="ss-eval"' in script
+    assert "--slurm" not in script.replace("slurm-%j.log", "")
+    assert "streamspeech_tpu.cli.simuleval" in script
+    assert f'--output "{out.resolve()}"' in script.replace("\\\n\t", " ")
+    # no evaluation ran (submission mode returns before building the engine)
+    assert not (out / "instances.log").exists()
