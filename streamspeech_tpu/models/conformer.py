@@ -279,6 +279,25 @@ class ChunkConformerEncoder(nn.Module):
             x = self.spk_emb_proj(jnp.concatenate([x, spk.astype(x.dtype)], -1))
         return x, out_lengths
 
+    def pre_layers(self, src_tokens, src_lengths, conv_chunk_size=None):
+        """Frontend only (subsample → scale → abs-pos → linear), i.e.
+        ``__call__`` up to the layer loop — used by
+        parallel/pipeline.conformer_pipeline_forward to stage the layer
+        stack over a pipeline mesh axis. Eval mode (no dropout).
+        Returns (x [B, T', C], out_lengths [B])."""
+        c = self.cfg
+        x = self.subsample(src_tokens, conv_chunk_size)
+        out_lengths = Conv1dSubsampler.out_length(src_lengths)
+        t = x.shape[1]
+        x = x * self.embed_scale
+        if c.pos_enc_type != "rel_pos" and self.abs_pos_table is not None:
+            valid = jnp.arange(t, dtype=jnp.int32)[None, :] < \
+                out_lengths[:, None]
+            rows = jnp.where(valid, 2 + jnp.arange(t, dtype=jnp.int32)[None], 1)
+            x = x + jnp.take(self.abs_pos_table, rows, axis=0).astype(x.dtype)
+        x = self.linear(x)
+        return x, out_lengths
+
     # ------------------------------------------------------------------
     # incremental path
     # ------------------------------------------------------------------

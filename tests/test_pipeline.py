@@ -86,3 +86,85 @@ def test_pipeline_jits_under_jit():
     ref = _sequential(per_stage, x.reshape(-1, d)).reshape(x.shape)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# real-model staging: the actual ChunkConformerEncoder (BatchNorm running
+# stats, rel-pos attention, depthwise chunk conv) through the GPipe schedule
+# ---------------------------------------------------------------------------
+
+def _small_encoder(layers=4):
+    from streamspeech_tpu.config import EncoderConfig
+    from streamspeech_tpu.models.conformer import ChunkConformerEncoder
+
+    cfg = EncoderConfig(embed_dim=16, ffn_embed_dim=32, layers=layers,
+                        attention_heads=2, depthwise_conv_kernel_size=7,
+                        conv_channels=32, dropout=0.0)
+    enc = ChunkConformerEncoder(cfg)
+    b, frames = 4, 32
+    src = jnp.asarray(np.random.RandomState(0).randn(b, frames, 80),
+                      jnp.float32)
+    lens = jnp.array([32, 32, 24, 16], jnp.int32)
+    variables = enc.init({"params": jax.random.PRNGKey(0)}, src, lens,
+                         chunk_size=2, conv_chunk_size=2,
+                         use_running_stats=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    return enc, variables, src, lens
+
+
+def test_conformer_pipeline_matches_sequential():
+    """Forward of the staged 4L conformer == the sequential encoder (eval
+    mode; ragged lengths ride the pipeline as per-microbatch extras)."""
+    from streamspeech_tpu.parallel.pipeline import (
+        conformer_pipeline_forward,
+        make_pipe_mesh,
+    )
+
+    enc, variables, src, lens = _small_encoder(layers=4)
+    mesh = make_pipe_mesh(2, jax.devices()[:2])
+    ref, ref_lens = enc.apply(variables, src, lens, chunk_size=2,
+                              conv_chunk_size=2)
+    out, out_lens = jax.jit(
+        lambda v, s, l: conformer_pipeline_forward(
+            enc, v, s, l, mesh, n_micro=2, chunk_size=2, conv_chunk_size=2)
+    )(variables, src, lens)
+    np.testing.assert_array_equal(np.asarray(out_lens), np.asarray(ref_lens))
+    # compare valid rows only (padded rows may see mask-dependent garbage)
+    ref_np, out_np = np.asarray(ref), np.asarray(out)
+    for i, n in enumerate(np.asarray(ref_lens)):
+        np.testing.assert_allclose(out_np[i, :n], ref_np[i, :n],
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_conformer_pipeline_grads_match_sequential():
+    """Grads through the staged conformer w.r.t. the LAYER params == the
+    sequential encoder's grads (GPipe synchronous semantics on the real
+    model: BatchNorm eval stats, rel-pos tables, chunk conv and all)."""
+    from streamspeech_tpu.parallel.pipeline import (
+        conformer_pipeline_forward,
+        conformer_stage_params,
+        make_pipe_mesh,
+    )
+
+    enc, variables, src, lens = _small_encoder(layers=4)
+    mesh = make_pipe_mesh(4, jax.devices()[:4])
+
+    def loss_pipe(v):
+        y, _ = conformer_pipeline_forward(enc, v, src, lens, mesh, n_micro=2,
+                                          chunk_size=2, conv_chunk_size=2)
+        return jnp.mean(y ** 2)
+
+    def loss_seq(v):
+        y, _ = enc.apply(v, src, lens, chunk_size=2, conv_chunk_size=2)
+        return jnp.mean(y ** 2)
+
+    g_pipe = jax.grad(loss_pipe)(variables)["params"]
+    g_seq = jax.grad(loss_seq)(variables)["params"]
+    for k in g_seq:
+        if not k.startswith("layers_"):
+            continue
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=3e-5, rtol=3e-4),
+            g_pipe[k], g_seq[k])
