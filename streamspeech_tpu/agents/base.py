@@ -25,6 +25,14 @@ class Segment:
     finished: bool = False
     is_empty: bool = False
     data_type: str = ""
+    # source position (ms) at which the emitting DECISION was made. Set by
+    # the overlapped (pipelined) runtime, where the host observes a chunk's
+    # write a few calls after it was decided: non-computation-aware delays
+    # are algorithmic stream positions, so they use the decision point
+    # (identical to the synchronous path — asserted by
+    # tests/test_pipelined_policy.py); the `_CA` twins keep wall-clock at
+    # observation. None = use the evaluator's current position (sync path).
+    decision_ms: Any = None
 
     def json(self) -> str:
         return json.dumps({

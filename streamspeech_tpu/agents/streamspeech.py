@@ -48,6 +48,14 @@ class StreamSpeechAgentConfig:
     max_len: int = 200
     whole_word: bool = False         # reference enables it for >=640 ms chunks
     dur_prediction: bool = True
+    # overlapped streaming: dispatch chunk N+1 before observing chunk N
+    # (runtime/session.py policy_step_pipelined). Identical writes at
+    # identical stream positions as the synchronous path; only the host's
+    # OBSERVATION lags, so wall-clock throughput stops paying the tunnel
+    # round trip per chunk.
+    pipelined: bool = False
+    pipe_max_lag: int = 8            # in-flight chunks before a forced fetch
+    pipe_ready_s: float = 0.05       # age at which an async copy has landed
 
     @property
     def chunk_size(self) -> int:
@@ -134,6 +142,8 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
         self.unfinished_wav: Optional[np.ndarray] = None
         self.asr_text = ""
         self.st_text = ""
+        self._action_queue: List = []
+        self._decision_ms = None
 
     def _final_write(self):
         self.states.target_finished = True
@@ -145,6 +155,8 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
 
     def policy(self):
         cfg = self.cfg
+        if cfg.pipelined and self._starts_word is not None:
+            return self._pipelined_policy()
         finished = self.states.source_finished
         if self._starts_word is not None and not finished:
             feats = self._extract_feats(self.states)
@@ -166,6 +178,204 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
         if self.ingest(self.states) == 0:
             return self._final_write() if finished else ReadAction()
         return self._host_policy(finished)
+
+    # ------------------------------------------------------------------
+    # overlapped (pipelined) streaming: the device runs the policy with
+    # device-resident counters; the host fetches each chunk's bundle with a
+    # small lag and turns completed bundles into (queued) actions. Writes
+    # carry their decision position so latency bookkeeping is identical to
+    # the synchronous path (tests/test_pipelined_policy.py).
+    # ------------------------------------------------------------------
+
+    def _pipelined_policy(self):
+        import math
+
+        cfg = self.cfg
+        ses = self.session
+        finished = self.states.source_finished
+        feats = self._extract_feats(self.states)
+        if feats.shape[0]:
+            ses.pending_feats = np.concatenate([ses.pending_feats, feats],
+                                               axis=0)
+        block_enc = math.lcm(max(cfg.chunk_size, 1),
+                             max(cfg.conv_chunk_size, 1))
+        block_frames = 4 * block_enc
+        n_blocks = ses.pending_feats.shape[0] // block_frames
+
+        if finished:
+            self._pipe_drain()
+            if self._action_queue:
+                return self._action_queue.pop(0)
+            ses.push_features(np.zeros((0, 80), np.float32),
+                              cfg.chunk_size, cfg.conv_chunk_size,
+                              finished=True)
+            if ses.enc_len == 0:
+                return self._final_write()
+            return self._host_policy(True)
+
+        if n_blocks == 1 and ses.pipe_applicable(n_blocks, block_enc):
+            if ses.pipe_state is None:
+                ses.pipe_set_counters(self.src_ctc_prefix_length,
+                                      self.tgt_ctc_prefix_length,
+                                      len(self.units))
+                ses.pipe_resync()
+            block = ses.pending_feats[:block_frames]
+            ses.pending_feats = ses.pending_feats[block_frames:]
+            decision_ms = len(self.states.source) / 16.0
+            ses.pipe_dispatch(block, cfg.chunk_size, cfg.conv_chunk_size,
+                              cfg.lagging_k1, cfg.stride_n, cfg.whole_word,
+                              cfg.max_len, self._starts_word, decision_ms,
+                              block_enc)
+        elif n_blocks > 0:
+            # non-standard chunk (multiple blocks / caches near capacity):
+            # drain, then take the exact host path for the pending audio
+            self._pipe_drain()
+            ses.push_features(np.zeros((0, 80), np.float32),
+                              cfg.chunk_size, cfg.conv_chunk_size,
+                              finished=False)
+            if ses.enc_len > 0:
+                self._decision_ms = len(self.states.source) / 16.0
+                act = self._host_policy(False)
+                self._decision_ms = None
+                if isinstance(act, WriteAction):
+                    self._action_queue.append(act)
+
+        # fold any landed bundles into actions
+        while True:
+            out = self._pipe_poll()
+            if out is None:
+                break
+            self._process_pipe_out(out)
+        if self._action_queue:
+            return self._action_queue.pop(0)
+        return ReadAction()
+
+    def _pipe_poll(self):
+        import time
+
+        ses = self.session
+        if not ses.pipe_inflight:
+            return None
+        if (len(ses.pipe_inflight) > self.cfg.pipe_max_lag
+                or time.perf_counter() - ses.pipe_inflight[0]["t"]
+                >= self.cfg.pipe_ready_s):
+            return ses.pipe_fetch_oldest()
+        return None
+
+    def _pipe_drain(self):
+        """Fetch every in-flight bundle (in order) into actions."""
+        while self.session.pipe_inflight:
+            self._process_pipe_out(self.session.pipe_fetch_oldest())
+        self.session.pipe_state = None
+
+    def _process_pipe_out(self, out):
+        """Turn one fetched chunk bundle into mirror updates + a queued
+        action — the lagged twin of `_fused_action`. Fallback conditions
+        (decode budget beyond the fused scan; emission window overflow)
+        invalidate the device's later speculation: handle this chunk through
+        the exact host path, then REPLAY the remaining in-flight chunks
+        host-side (the encoder-side data in their bundles is always valid)."""
+        cfg = self.cfg
+        ses = self.session
+        hyps = ses.ctc_hypotheses()
+        self.asr_text = spm_text(self.src_dict, hyps["asr"][0])
+        self.st_text = spm_text(self.tgt_dict, hyps["st"][0])
+        if out["grew"]:
+            self.src_ctc_prefix_length = max(out["asr_count"],
+                                             self.src_ctc_prefix_length)
+            self.tgt_ctc_prefix_length = max(out["st_count"],
+                                             self.tgt_ctc_prefix_length)
+
+        budget_fallback = (out["grew"] and out["budget_over"]
+                           and not out["do_decode"])
+        emit_fallback = out["do_emit"] and not out["ok"]
+        if budget_fallback:
+            self._pipe_budget_fallback(out)
+            return
+        if emit_fallback:
+            self._pipe_emit_fallback(out)
+            return
+        if not out["do_decode"] or not out["do_emit"]:
+            return  # READ
+        prev_units = len(self.units)
+        units, new_wav = out["units"], out["tail"]
+        if len(units) == 0 or len(units) <= prev_units:
+            return  # READ (no new units)
+        if self.unfinished_wav is not None and len(self.unfinished_wav) > 0:
+            new_wav = np.concatenate([self.unfinished_wav,
+                                      np.asarray(new_wav)])
+            self.unfinished_wav = None
+        self.units = list(units)
+        self._action_queue.append(WriteAction(
+            SpeechSegment(content=np.asarray(new_wav).tolist(),
+                          sample_rate=SAMPLE_RATE, finished=False,
+                          decision_ms=out["decision_ms"]),
+            finished=False))
+
+    def _pipe_budget_fallback(self, out):
+        """Chunk budget exceeded the fused scan: the device skipped the
+        decode (and — by budget monotonicity — so did every later in-flight
+        chunk, leaving the MT caches untouched at this chunk's state). Run
+        the exact host continuation here, then replay the remaining chunks
+        through the host policy (their speculative gate decisions assumed the
+        stale hypothesis length)."""
+        cfg = self.cfg
+        ses = self.session
+        subword = ((out["st_count"] - cfg.lagging_k1)
+                   // cfg.stride_n) * cfg.stride_n
+        if cfg.whole_word:
+            subword += 1
+        new_subword = subword - len(ses.mt_tokens)
+        ses.pipe_truncate_to_mirror()  # safety; no-op when nothing speculated
+        if new_subword >= 1:
+            self._decision_ms = out["decision_ms"]
+            act = self._decode_and_emit(False, new_subword)
+            self._decision_ms = None
+            if isinstance(act, WriteAction):
+                self._action_queue.append(act)
+        # replay the rest host-side, chunk by chunk
+        while ses.pipe_inflight:
+            rep = ses.pipe_fetch_oldest(encoder_only=True)
+            self._decision_ms = rep["decision_ms"]
+            act = self._host_policy(False)
+            self._decision_ms = None
+            if isinstance(act, WriteAction):
+                self._action_queue.append(act)
+        ses.pipe_state = None
+
+    def _pipe_emit_fallback(self, out):
+        """The windowed tail overflowed (ok=False): run the full-emission
+        host fallback for this chunk, then re-derive the remaining in-flight
+        chunks' EMISSIONS host-side (their decodes are valid — emission is
+        the only n_units-dependent step)."""
+        ses = self.session
+        prev_units = len(self.units)
+        self._emit_from_host(prev_units, out["decision_ms"])
+        while ses.pipe_inflight:
+            rep = ses.pipe_fetch_oldest()
+            if rep["grew"]:
+                self.src_ctc_prefix_length = max(rep["asr_count"],
+                                                 self.src_ctc_prefix_length)
+                self.tgt_ctc_prefix_length = max(rep["st_count"],
+                                                 self.tgt_ctc_prefix_length)
+            if rep["do_decode"] and rep["do_emit"]:
+                self._emit_from_host(len(self.units), rep["decision_ms"])
+        ses.pipe_state = None
+
+    def _emit_from_host(self, prev_units, decision_ms):
+        units, new_wav, _ = self.session.emit_tail(prev_units)
+        if len(units) == 0 or len(units) <= prev_units:
+            return
+        if self.unfinished_wav is not None and len(self.unfinished_wav) > 0:
+            new_wav = np.concatenate([self.unfinished_wav,
+                                      np.asarray(new_wav)])
+            self.unfinished_wav = None
+        self.units = list(units)
+        self._action_queue.append(WriteAction(
+            SpeechSegment(content=np.asarray(new_wav).tolist(),
+                          sample_rate=SAMPLE_RATE, finished=False,
+                          decision_ms=decision_ms),
+            finished=False))
 
     def _fused_action(self, out):
         """Translate the fused policy-step bundle into an Action. All numeric
@@ -280,7 +490,8 @@ class StreamSpeechS2STAgent(_StreamSpeechAgentBase, SpeechToSpeechAgent):
             self.states.target_finished = True
         return WriteAction(
             SpeechSegment(content=new_wav.tolist(), sample_rate=SAMPLE_RATE,
-                          finished=finished),
+                          finished=finished,
+                          decision_ms=getattr(self, "_decision_ms", None)),
             finished=target_finished)
 
 

@@ -119,8 +119,11 @@ class TextOutputInstance(Instance):
             parts = str(segment.content).split()
         else:
             parts = list(str(segment.content).replace(" ", ""))
+        delay = (segment.decision_ms
+                 if getattr(segment, "decision_ms", None) is not None
+                 else self.step_to_delay())
         self.prediction_list += parts
-        self.delays += [self.step_to_delay()] * len(parts)
+        self.delays += [delay] * len(parts)
         self.elapsed += [self.step_to_elapsed(now)] * len(parts)
 
     def summarize(self) -> dict:
@@ -210,7 +213,9 @@ class SpeechOutputInstance(Instance):
         self.durations.append(1000.0 * len(segment.content) / segment.sample_rate)
         self.prediction_list.append(segment.content)
         self.elapsed.append(self.step_to_elapsed(now))
-        self.delays.append(self.step_to_delay())
+        self.delays.append(segment.decision_ms
+                           if getattr(segment, "decision_ms", None) is not None
+                           else self.step_to_delay())
 
     def summarize(self) -> dict:
         """Stitch segments on the source timeline, inserting silence at

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import time
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -329,14 +330,7 @@ class StreamSpeechEngine:
 
             self._emit_tail_batched = emit_tail_batched
 
-            @functools.partial(
-                jax.jit,
-                static_argnames=("chunk", "conv_chunk", "finished",
-                                 "whole_word", "k1", "n", "steps", "mt_cap",
-                                 "unit_capacity", "window_frames",
-                                 "ctx_frames", "tail_cap", "max_len"),
-                donate_argnums=(4, 5, 6, 7))
-            def policy_step(variables, voc_vars, block, valid_len, enc_state,
+            def policy_core(variables, voc_vars, block, valid_len, enc_state,
                             enc_buf, mt_self, mt_cross, mt_buf, n_tokens,
                             src_len, tgt_len, asr_count, st_count, last_asr,
                             last_st, n_units, starts_word, chunk, conv_chunk,
@@ -503,9 +497,106 @@ class StreamSpeechEngine:
                 return (enc_state, enc_buf, mt_self, mt_cross, mt_buf,
                         asr_ids[0], st_ids[0], keep, asr_count, st_count,
                         last_asr, last_st, units, count, dur, tail, cur_len,
-                        flags)
+                        flags, grew, do_emit, ok)
+
+            @functools.partial(
+                jax.jit,
+                static_argnames=("chunk", "conv_chunk", "finished",
+                                 "whole_word", "k1", "n", "steps", "mt_cap",
+                                 "unit_capacity", "window_frames",
+                                 "ctx_frames", "tail_cap", "max_len"),
+                donate_argnums=(4, 5, 6, 7))
+            def policy_step(variables, voc_vars, block, valid_len, enc_state,
+                            enc_buf, mt_self, mt_cross, mt_buf, n_tokens,
+                            src_len, tgt_len, asr_count, st_count, last_asr,
+                            last_st, n_units, starts_word, chunk, conv_chunk,
+                            finished, whole_word, k1, n, steps, mt_cap,
+                            unit_capacity, window_frames, ctx_frames,
+                            tail_cap, max_len):
+                """Host-counter fused policy chunk (see policy_core): the host
+                stays the source of truth for the policy counters, passed as
+                cheap inlined scalars every call (the synchronous exactness
+                path and the fallback interleave path)."""
+                return policy_core(
+                    variables, voc_vars, block, valid_len, enc_state, enc_buf,
+                    mt_self, mt_cross, mt_buf, n_tokens, src_len, tgt_len,
+                    asr_count, st_count, last_asr, last_st, n_units,
+                    starts_word, chunk, conv_chunk, finished, whole_word, k1,
+                    n, steps, mt_cap, unit_capacity, window_frames,
+                    ctx_frames, tail_cap, max_len)[:18]
 
             self._policy_step = policy_step
+
+            @functools.partial(
+                jax.jit,
+                static_argnames=("chunk", "conv_chunk", "whole_word", "k1",
+                                 "n", "steps", "mt_cap", "unit_capacity",
+                                 "window_frames", "ctx_frames", "tail_cap",
+                                 "max_len"),
+                donate_argnums=(4, 5, 6, 7, 8))
+            def policy_step_pipelined(variables, voc_vars, block, valid_len,
+                                      enc_state, enc_buf, mt_self, mt_cross,
+                                      pol, starts_word, chunk, conv_chunk,
+                                      whole_word, k1, n, steps, mt_cap,
+                                      unit_capacity, window_frames,
+                                      ctx_frames, tail_cap, max_len):
+                """Device-resident-counter twin of `policy_step` for the
+                OVERLAPPED streaming loop: the policy counters (hypothesis
+                length, CTC prefix lengths, growth gates state, emitted-unit
+                count, the hypothesis buffer itself) live on device in `pol`
+                and are updated in-program with the agent's own recurrences
+                (`agents/streamspeech.py:_fused_action`), so chunk N+1 can be
+                DISPATCHED before chunk N's results ever reach the host. The
+                host fetches each chunk's result bundle asynchronously
+                (`copy_to_host_async` started at dispatch; `device_get` ~0.2
+                ms once landed) with a small lag, turning the per-chunk cost
+                from dispatch+compute+RTT (~51 ms serial) into ~max(compute,
+                bandwidth) — the tunnel RTT leaves the critical path
+                entirely. The reference host policy is the semantic spec
+                (`agent/speech_to_speech.streamspeech.agent.py:422-770`);
+                exactness vs the synchronous path is asserted by
+                tests/test_pipelined_policy.py."""
+                (mt_buf, n_tokens, src_len, tgt_len, asr_count, st_count,
+                 last_asr, last_st, n_units) = pol
+                (enc_state, enc_buf, mt_self, mt_cross, mt_buf2, asr_row,
+                 st_row, keep, asr_count2, st_count2, last_asr2, last_st2,
+                 units, count, dur, tail, cur_len, flags, grew, do_emit,
+                 ok_emit) = policy_core(
+                    variables, voc_vars, block, valid_len, enc_state, enc_buf,
+                    mt_self, mt_cross, mt_buf, n_tokens, src_len, tgt_len,
+                    asr_count, st_count, last_asr, last_st, n_units,
+                    starts_word, chunk, conv_chunk, False, whole_word, k1,
+                    n, steps, mt_cap, unit_capacity, window_frames,
+                    ctx_frames, tail_cap, max_len)
+                # the agent's host-side counter recurrences, on device:
+                # prefix lengths advance on growth (gate passed), emitted-unit
+                # count advances on an in-window emission that grew the units
+                src_len2 = jnp.where(grew, jnp.maximum(asr_count2, src_len),
+                                     src_len)
+                tgt_len2 = jnp.where(grew, jnp.maximum(st_count2, tgt_len),
+                                     tgt_len)
+                upd = do_emit & ok_emit & (count > n_units)
+                n_units2 = jnp.where(upd, count, n_units)
+                pol2 = (mt_buf2, keep, src_len2, tgt_len2, asr_count2,
+                        st_count2, last_asr2, last_st2, n_units2)
+                bundle = (flags, keep, asr_row, st_row, asr_count2, st_count2,
+                          count, units, dur, tail, cur_len, mt_buf2)
+                return enc_state, enc_buf, mt_self, mt_cross, pol2, bundle
+
+            self._policy_step_pipelined = policy_step_pipelined
+
+            @jax.jit
+            def pipe_pack(mt_buf, n_tokens, src_len, tgt_len, asr_count,
+                          st_count, last_asr, last_st, n_units):
+                """(Re)build the device policy-state tuple from host values —
+                all args are host numpy (inlined into the execute RPC, no
+                extra round trip). Used at pipelined-mode entry and after any
+                host-path interlude (fallback/finish) to resync the device."""
+                return tuple(jnp.asarray(v, jnp.int32) for v in
+                             (mt_buf, n_tokens, src_len, tgt_len, asr_count,
+                              st_count, last_asr, last_st, n_units))
+
+            self._pipe_pack = pipe_pack
 
             @functools.partial(
                 jax.jit,
@@ -726,16 +817,43 @@ class StreamSpeechEngine:
 
     def warmup(self, chunk: int = 8, conv_chunk: int = 8,
                whole_word: bool = False, k1: int = 0, n: int = 1,
-               max_len: int = 200) -> int:
+               max_len: int = 200, pipelined: bool = False) -> int:
         """Compile every streaming program variant for the given chunking
         (serving-startup cost, NOT per-chunk): through this environment's
         remote compile helper a lazy mid-stream compile costs minutes and
-        wrecks tail latency. Returns the number of programs warmed."""
+        wrecks tail latency. Returns the number of programs warmed.
+        ``pipelined=True`` additionally compiles the device-resident-counter
+        programs of the overlapped loop (policy_step_pipelined + the
+        cross-clamped fallback decode)."""
         import numpy as np
 
         block = np.zeros((4 * math.lcm(max(chunk, 1), max(conv_chunk, 1)), 80),
                          np.float32)
+        block_enc = math.lcm(max(chunk, 1), max(conv_chunk, 1))
         count = 0
+        if pipelined and self.vocoder is not None:
+            table = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
+            for cap in self.mt_buckets:
+                fill = cap - self.fused_steps - 2
+                if fill < 0 or fill + 2 * self.fused_steps + 2 > \
+                        self.max_mt_tokens:
+                    continue
+                sess = self.new_session()
+                sess.mt_tokens = [4] * fill
+                sess.mt_steps = fill
+                sess.pipe_set_counters(0, 0, 0)
+                sess.pipe_resync()
+                sess.pipe_dispatch(block, chunk, conv_chunk, k1, n,
+                                   whole_word, max_len, table, 0.0, block_enc)
+                sess.pipe_fetch_oldest()
+                count += 1
+            # cross-clamped fallback decode (pipelined host interludes run
+            # while the device cache is ahead of the mirror)
+            s2 = self.new_session()
+            s2.push_features(block, chunk, conv_chunk)
+            s2.enc_len_dispatched = s2.enc_len + block_enc
+            s2.mt_decode(1)
+            count += 1
         if self.vocoder is not None:
             table = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
             for cap in self.mt_buckets:
@@ -808,6 +926,17 @@ class StreamingSession:
         # replays the exact call sequence with chained dispatch, no per-chunk
         # fetch, to measure device-side pipeline compute without tunnel RTT)
         self.record: Optional[List[Dict]] = None
+        # --- overlapped (pipelined) streaming state -----------------------
+        # device-resident policy counters (authoritative while pipelining);
+        # the session's regular fields become a LAGGED MIRROR updated at
+        # bundle-fetch time. enc_len_dispatched tracks the frames already
+        # dispatched to the device (ahead of the mirror's self.enc_len).
+        self.pipe_state = None
+        self.pipe_inflight: List[Dict] = []
+        self.enc_len_dispatched = 0
+        self._pipe_src_len = 0
+        self._pipe_tgt_len = 0
+        self._pipe_n_units = 0
 
     # ------------------------------------------------------------------
     # encoder side
@@ -853,6 +982,7 @@ class StreamingSession:
             self.enc_buf, vl, chunk=chunk, conv_chunk=conv_chunk)
         s = enc.shape[1]
         self.enc_len += s
+        self.enc_len_dispatched = max(self.enc_len_dispatched, self.enc_len)
         # grow MT cross-attn caches with the new frames
         self.mt_cross = self.e._mt_fill_cross(self.e.variables, enc,
                                               self.mt_cross)
@@ -960,6 +1090,131 @@ class StreamingSession:
             out["tail"] = tail[: int(cur_len)]
         return out
 
+    # ------------------------------------------------------------------
+    # overlapped (pipelined) streaming: dispatch chunk N+1 before fetching
+    # chunk N — the tunnel RTT leaves the critical path (see
+    # policy_step_pipelined). The session's regular fields are a lagged
+    # mirror, updated as each chunk's result bundle is fetched.
+    # ------------------------------------------------------------------
+
+    def pipe_resync(self):
+        """(Re)build the device policy-state from the host mirror. Called at
+        pipelined-mode entry and after any host-path interlude (fallbacks,
+        finish) — the mirror is authoritative at those points. Dispatch-only
+        (host values are inlined into the RPC): no round trip."""
+        assert not self.pipe_inflight, "resync with chunks in flight"
+        mt_buf = np.full((1, self.e.max_mt_tokens), PAD, np.int32)
+        if self.mt_tokens:
+            mt_buf[0, : len(self.mt_tokens)] = self.mt_tokens
+        asr_count = len(ctc_collapse(np.asarray(self.asr_ids), blank=0)[0])
+        st_count = len(ctc_collapse(np.asarray(self.st_ids), blank=0)[0])
+        self.pipe_state = self.e._pipe_pack(
+            mt_buf, np.int32(len(self.mt_tokens)),
+            np.int32(self._pipe_src_len), np.int32(self._pipe_tgt_len),
+            np.int32(asr_count), np.int32(st_count),
+            np.int32(self.asr_ids[-1] if self.asr_ids else -1),
+            np.int32(self.st_ids[-1] if self.st_ids else -1),
+            np.int32(self._pipe_n_units))
+        self.enc_len_dispatched = self.enc_len
+
+    def pipe_set_counters(self, src_len: int, tgt_len: int, n_units: int):
+        """The agent owns the policy counters (prefix lengths, emitted-unit
+        count); it deposits them here before resyncs."""
+        self._pipe_src_len = src_len
+        self._pipe_tgt_len = tgt_len
+        self._pipe_n_units = n_units
+
+    def pipe_applicable(self, n_blocks_pending: int, block_enc: int) -> bool:
+        steps = self.e.fused_steps
+        # conservative hypothesis-length bound: mirror + every in-flight or
+        # new chunk may accept up to `steps` tokens
+        bound = len(self.mt_tokens) + (len(self.pipe_inflight) + 1) * steps
+        return (not self.finished_input
+                and n_blocks_pending == 1
+                and bound + steps + 2 <= self.e.max_mt_tokens
+                and bound + 2 <= self.e.mt_buckets[-1]
+                and self.enc_len_dispatched + block_enc
+                <= self.e.max_enc_frames)
+
+    def pipe_dispatch(self, block: np.ndarray, chunk: int, conv_chunk: int,
+                      k1: int, n: int, whole_word: bool, max_len: int,
+                      starts_word, decision_ms: float, block_enc: int):
+        """Dispatch one policy chunk against the device-resident state and
+        start the async host copy of its result bundle. Never blocks."""
+        steps = self.e.fused_steps
+        max_len = min(max_len, self.e.max_mt_tokens - 2,
+                      self.e.mt_buckets[-1] - 2)
+        bound = len(self.mt_tokens) + (len(self.pipe_inflight) + 1) * steps
+        mt_cap = _bucket(min(bound + 2, self.e.mt_buckets[-1]),
+                         self.e.mt_buckets)
+        up = self.e.model.cfg.unit_decoder.ctc_upsample_rate
+        u_cap = _bucket(min(mt_cap * up, self.e.unit_buckets[-1]),
+                        self.e.unit_buckets)
+        (self.enc_state, self.enc_buf, self.mt_self, self.mt_cross,
+         self.pipe_state, bundle) = self.e._policy_step_pipelined(
+            self.e.variables, self.e.vocoder_variables,
+            block[None], np.int32(block.shape[0]),
+            self.enc_state, self.enc_buf, self.mt_self, self.mt_cross,
+            self.pipe_state, starts_word,
+            chunk=chunk, conv_chunk=conv_chunk, whole_word=whole_word,
+            k1=k1, n=n, steps=steps, mt_cap=mt_cap, unit_capacity=u_cap,
+            window_frames=self.e.emit_window_frames,
+            ctx_frames=self.e.emit_ctx_frames,
+            tail_cap=self.e.emit_tail_cap, max_len=max_len)
+        for a in bundle:
+            a.copy_to_host_async()
+        self.enc_len_dispatched += block_enc
+        self.pipe_inflight.append(dict(
+            bundle=bundle, t=time.perf_counter(),
+            block_enc=block_enc, decision_ms=decision_ms))
+
+    def pipe_fetch_oldest(self, encoder_only: bool = False) -> Dict:
+        """Fetch the oldest in-flight bundle (~0.2 ms once the async copy has
+        landed) and fold it into the host mirror. With ``encoder_only`` the
+        decode/emit fields are DISCARDED (replay mode: the host re-derives
+        the policy for this chunk because an earlier fallback invalidated the
+        speculative device decisions)."""
+        rec = self.pipe_inflight.pop(0)
+        (flags, keep, asr_row, st_row, asr_count, st_count, count, units,
+         dur, tail, cur_len, mt_buf) = jax.device_get(rec["bundle"])
+        self.enc_len += rec["block_enc"]
+        self.asr_ids.extend(asr_row.tolist())
+        self.st_ids.extend(st_row.tolist())
+        out = {
+            "do_decode": bool(flags[0]), "do_emit": bool(flags[1]),
+            "ok": bool(flags[2]), "budget_over": bool(flags[3]),
+            "hit_eos": bool(flags[4]), "grew": bool(flags[5]),
+            "keep": int(keep), "asr_count": int(asr_count),
+            "st_count": int(st_count), "count": int(count),
+            "decision_ms": rec["decision_ms"], "encoder_only": encoder_only,
+        }
+        if encoder_only:
+            return out
+        if out["do_decode"]:
+            self.mt_tokens = mt_buf[0][: out["keep"]].tolist()
+            self.mt_steps = out["keep"]
+        if out["do_emit"]:
+            out["units"] = units[: out["count"]].tolist()
+            out["dur"] = dur[: out["count"]]
+            out["tail"] = tail[: int(cur_len)]
+        return out
+
+    def pipe_truncate_to_mirror(self):
+        """Replay-mode entry: speculative decodes beyond the mirror hypothesis
+        are pruned from the KV caches (their slots are ≥ mirror length, so
+        content below is untouched — same invariant as whole-word rollback)."""
+        self.mt_self = [kv.truncate(np.int32(self.mt_steps))
+                        for kv in self.mt_self]
+
+    def mirror_cross_valid(self) -> Optional[np.ndarray]:
+        """Boolean [1, max_enc] clamp for host-path cross-attention while the
+        device encoder cache is AHEAD of the mirror (pipelined replay /
+        fallbacks): only the mirror's enc_len frames may be attended, exactly
+        what the reference saw at this chunk."""
+        if self.enc_len_dispatched <= self.enc_len:
+            return None
+        return (np.arange(self.e.max_enc_frames) < self.enc_len)[None]
+
     def ctc_hypotheses(self) -> Dict[str, Tuple[List[int], List[int]]]:
         """Collapsed (tokens, frame indices) for the ASR and ST CTC heads
         (blank = 0, `agent/ctc_decoder.py:67-89`)."""
@@ -975,7 +1230,10 @@ class StreamingSession:
     def mt_decode(self, max_new_tokens: int, max_len: int = 200) -> List[int]:
         """Greedy continue-from-prefix; decodes up to max_new_tokens (or to EOS
         when max_new_tokens < 0). Returns the full hypothesis (no leading eos).
+        While the device encoder cache is ahead of the mirror (pipelined
+        fallback/replay) cross-attention is clamped to the mirror's frames.
         """
+        cross_valid = self.mirror_cross_valid()
         # hypothesis length is bounded by the KV-cache capacity and the largest
         # MT shape bucket (long-utterance safety)
         max_len = min(max_len, self.e.max_mt_tokens - 2,
@@ -1014,7 +1272,7 @@ class StreamingSession:
                 self.e.variables, np.asarray([feed], np.int32),
                 np.int32(self.mt_steps), np.int32(chunk_budget),
                 self.mt_self, self.mt_cross,
-                max_steps=steps)
+                max_steps=steps, cross_valid=cross_valid)
             toks, emitted, hit_eos = jax.device_get((toks, emitted, hit_eos))
             n = int(emitted[0])
             self.mt_tokens.extend(toks[0][:n].tolist())
