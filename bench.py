@@ -64,15 +64,23 @@ def main():
         try:
             print("bench: streaming pipeline...", file=sys.stderr, flush=True)
             # single mt/unit bucket keeps the warmed program count (and the
-            # remote-helper compile time) bounded; 3 x 8 s covers ~75 chunks
+            # remote-helper compile time) bounded; 3 x 8 s covers ~75 chunks.
+            # Headline = the OVERLAPPED (pipelined) runtime at reference-like
+            # write density (~30% of chunks emit — asserted); the synchronous
+            # fused path runs on the same warmed engine for comparison.
             st = bm.measure_pipeline_rtf(
                 model, variables, utterances=3, seconds=8.0, segment_ms=320,
                 mt_buckets=(64,), unit_buckets=(256,), collect_replay=True,
-                verbose=True)
+                pipelined=True, scheduled=True, compare_sync=True,
+                min_write_density=0.25, verbose=True)
             pipeline_x = st["pipeline_xrealtime"]
             extras["pipeline_rtf"] = round(st["pipeline_rtf"], 4)
             extras["pipeline_n_writes"] = st["n_writes"]
             extras["pipeline_n_chunks"] = st["n_chunks"]
+            extras["write_density"] = round(st["write_density"], 3)
+            if "sync_xrealtime" in st:
+                extras["sync_xrealtime"] = round(st["sync_xrealtime"], 3)
+                extras["sync_n_writes"] = st["sync_n_writes"]
             extras["warmup_s"] = round(st["warmup_s"], 1)
             # provisional headline: if a later (slow, compile-heavy) stage is
             # killed by the harness, the driver still parses this line; the

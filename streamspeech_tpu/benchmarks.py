@@ -194,11 +194,23 @@ def doctor_streaming_params(variables):
     The caller's pytree is NOT mutated: the dicts along the touched paths
     are shallow-copied, so ``variables`` stays usable for undoctored runs.
     """
+    import jax
+
     variables = dict(variables)
     p = dict(variables["params"])
     variables["params"] = p
-    for head in ("source_unigram_head", "ctc_target_unigram_head"):
+    for j, head in enumerate(("source_unigram_head",
+                              "ctc_target_unigram_head")):
         p[head] = {**p[head], "proj": dict(p[head]["proj"])}
+        k = p[head]["proj"]["kernel"]
+        # re-seed the head kernels: the default init's argmax SATURATES after
+        # ~2.5 s (the dedup'd count stops growing → the growth gate shuts →
+        # an all-READ trace that flatters the benchmark); these seeds keep
+        # both heads emitting fresh tokens for the whole utterance, putting
+        # the write density near the reference's ~30% of chunks
+        # (`/root/reference/README.md:207-208`, NumChunks 9.5 / ~31 chunks)
+        p[head]["proj"]["kernel"] = jax.random.normal(
+            jax.random.PRNGKey(j), k.shape, k.dtype) * float(np.std(k))
         b = p[head]["proj"]["bias"]
         # idempotent (callers may doctor the same variables twice)
         p[head]["proj"]["bias"] = b.at[0].set(-8.0)
@@ -214,14 +226,197 @@ def doctor_streaming_params(variables):
     return variables
 
 
+def make_bench_audio(seconds: float, seed: int, step_prob: float = 0.45,
+                     segment_ms: int = 320):
+    """Synthetic bench utterance with speech-like SPECTRAL dynamics: a band
+    of tones whose center frequency jumps on ~45% of 320 ms chunks (the
+    encoder's per-frame LayerNorm erases pure amplitude structure, so
+    spectral steps are what actually moves the encoder state). Returns
+    (audio float32 [n], steps: per-chunk bool list of where the band jumped)
+    — the step schedule is what the calibrated policy heads are fit to."""
+    r = np.random.RandomState(seed)
+    n = int(seconds * 16000)
+    seg = int(segment_ms / 1000 * 16000)
+    bands = np.linspace(300, 6000, 12)
+    cur = r.randint(12)
+    t = np.arange(n) / 16000.0
+    out = 0.02 * r.randn(n).astype(np.float32)
+    steps = []
+    for s in range(0, n, seg):
+        stepped = bool(s and r.rand() < step_prob)
+        if stepped:
+            nxt = r.randint(11)
+            cur = nxt + (nxt >= cur)  # never repeat the current band
+        steps.append(stepped)
+        f = bands[cur]
+        sl = slice(s, min(s + seg, n))
+        for m in (0.9, 1.1, 1.27):
+            out[sl] += 0.1 * np.sin(2 * np.pi * f * m * t[sl] + r.rand() * 6)
+    return out.astype(np.float32), steps
+
+
+def doctor_streaming_params_scheduled(model, variables, audios, schedules,
+                                      n_cls: int = 37, unit_sectors: int = 16):
+    """Calibrated bench doctoring: make the random-weight model's POLICY
+    behave like a trained StreamSpeech on the given bench utterances, at
+    reference-like emission density (~30-45% of chunks write,
+    `/root/reference/README.md:207-208` NumChunks 9.5 per ~31-chunk
+    utterance). Random heads collapse to constant argmax within ~2 s, so an
+    undoctored trace is all-READ and flatters the streaming benchmark.
+
+    - ASR/ST CTC heads: least-squares-fit (kernel+bias) so the per-frame
+      argmax follows the audio's band-step schedule — the dedup'd CTC count
+      grows by exactly 1 on step chunks, for BOTH heads, so the agent's
+      growth gate opens at the scheduled density.
+    - unit CTC head (shared embedding, no bias): a bias-free ANGLE quantizer
+      — two recovered-feature directions u1,u2, classes on a circle,
+      argmax = nearest sector of atan2(x·u2, x·u1) — giving ~0.8 fresh units
+      per MT token so emissions keep producing new wav.
+    The timed device programs are completely unchanged; only the random
+    weights are replaced with ones that exercise the same code paths a
+    trained checkpoint would."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamspeech_tpu.models.conformer import ChunkConformerEncoder
+    from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+    from streamspeech_tpu.ops.fbank import OnlineFbank
+
+    enc_mod = ChunkConformerEncoder(model.cfg.encoder)
+    enc_vars = {"params": variables["params"]["encoder"],
+                "batch_stats":
+                    variables.get("batch_stats", {}).get("encoder", {})}
+    run = jax.jit(lambda src, lens: enc_mod.apply(
+        enc_vars, src, lens, chunk_size=8, conv_chunk_size=8)[0])
+
+    Xs, Ys, first_enc = [], [], None
+    for a, steps in zip(audios, schedules):
+        f = OnlineFbank().push(np.asarray(a, np.float32))
+        x = np.asarray(jax.device_get(run(
+            f[None], np.full((1,), f.shape[0], np.int32))))[0]
+        if first_enc is None:
+            first_enc = x
+        cls = np.cumsum([0] + [1 if s else 0 for s in steps[1:]]) % n_cls
+        cls_f = np.repeat(cls, 8)[: x.shape[0]]
+        if len(cls_f) < x.shape[0]:
+            cls_f = np.pad(cls_f, (0, x.shape[0] - len(cls_f)), mode="edge")
+        Xs.append(x)
+        Ys.append(cls_f)
+    X = np.concatenate(Xs)
+    Y = np.concatenate(Ys)
+    Xb = np.concatenate([X, np.ones((len(X), 1), np.float32)], 1)
+    T = np.full((len(X), n_cls), -4.0, np.float32)
+    T[np.arange(len(X)), Y] = 4.0
+    W, *_ = np.linalg.lstsq(Xb, T, rcond=None)
+
+    variables = dict(variables)
+    p = dict(variables["params"])
+    variables["params"] = p
+    for head in ("source_unigram_head", "ctc_target_unigram_head"):
+        k = np.asarray(p[head]["proj"]["kernel"])
+        kern = np.zeros_like(k)
+        bias = np.full((k.shape[1],), -1e9, np.float32)
+        kern[:, 4:4 + n_cls] = W[:-1]
+        bias[4:4 + n_cls] = W[-1]
+        p[head] = {**p[head],
+                   "proj": {"kernel": jnp.asarray(kern),
+                            "bias": jnp.asarray(bias)}}
+
+    # MT head first (below), THEN the unit head is calibrated on the
+    # DOCTORED model with constant-token prefixes: its sectors track the
+    # position-driven drift of the unit-decoder features, so the collapsed
+    # unit count grows with the hypothesis length regardless of which tokens
+    # the doctored MT greedy actually emits.
+    # MT decoder head (shared embedding, no bias): same angle quantizer, so
+    # the greedy hypothesis cycles through distinct tokens (a repeated-token
+    # hypothesis would collapse the unit CTC and starve the emission path)
+    Emt = np.asarray(p["mt_decoder"]["embed_tokens"])
+    fwd = jax.jit(lambda v, src, lens, mt: model.apply(
+        v, src, lens, mt, chunk_size=8, conv_chunk_size=8,
+        n2=1)["mt_features"])
+    f0 = OnlineFbank().push(np.asarray(audios[0], np.float32))
+    r2 = np.random.RandomState(11)
+    mt = np.full((1, 32), 1, np.int32)
+    mt[0, 0] = 2
+    mt[0, 1:] = r2.randint(4, Emt.shape[0], 31)
+    feats = np.asarray(jax.device_get(fwd(
+        variables, f0[None], np.full((1,), f0.shape[0], np.int32), mt)))[0]
+    Dm = np.diff(feats, axis=0)
+    _, _, Vtm = np.linalg.svd(Dm - Dm.mean(0), full_matrices=False)
+    m1, m2 = Vtm[0].astype(np.float32), Vtm[1].astype(np.float32)
+    # tiny row scale: the OUTPUT argmax is scale-invariant, but a large
+    # INPUT embedding (rows are shared) makes the fed-back token dominate
+    # the hidden state and the greedy loop collapses onto a fixed point
+    # (token t -> same token forever); at 0.01 the position/encoder context
+    # drives the angle instead and the hypothesis keeps cycling
+    E2m = np.zeros_like(Emt)
+    mt_sectors = 16
+    for c in range(mt_sectors):
+        th = 2 * np.pi * c / mt_sectors
+        E2m[4 + c] = (np.cos(th) * m1 + np.sin(th) * m2) * 0.01
+    p["mt_decoder"] = {**p["mt_decoder"], "embed_tokens": jnp.asarray(E2m)}
+
+    # unit head, calibrated on the doctored model: a probe embedding whose
+    # rows 4..4+C are the identity exposes the decoder features directly in
+    # the logits; PCA of the per-token-group feature deltas gives the angle
+    # plane; constant-token prefixes make the calibration match the
+    # (possibly repetitive) hypotheses the doctored MT greedy produces.
+    E = np.asarray(p["unit_decoder"]["embed_tokens"])
+    C = E.shape[1]
+    probe = np.zeros_like(E)
+    probe[4:4 + C, :] = np.eye(C, dtype=np.float32)
+    v_probe = dict(variables)
+    pp = dict(p)
+    pp["unit_decoder"] = {**pp["unit_decoder"],
+                          "embed_tokens": jnp.asarray(probe)}
+    v_probe["params"] = pp
+    enc_buf = np.zeros((1, 512, model.cfg.encoder.embed_dim), np.float32)
+    enc_buf[0, : first_enc.shape[0]] = first_enc
+    synth = jax.jit(lambda v, toks, enc, el: model.apply(
+        v, toks, enc, el, method=StreamSpeechModel.synthesize_units)[1])
+    up = model.cfg.unit_decoder.ctc_upsample_rate
+    deltas = []
+    for fill, L in ((4, 30), (5, 21)):
+        toks = np.full((1, 64), 1, np.int32)
+        toks[0, 0] = 2
+        toks[0, 1:L + 1] = fill
+        logits = np.asarray(jax.device_get(synth(
+            v_probe, toks, enc_buf, np.int32(first_enc.shape[0]))))[0]
+        g = logits[: (L + 1) * up, 4:4 + C].reshape(L + 1, up, C).mean(1)
+        deltas.append(np.diff(g, axis=0))
+    D = np.concatenate(deltas)
+    _, _, Vt = np.linalg.svd(D - D.mean(0), full_matrices=False)
+    u1, u2 = Vt[0].astype(np.float32), Vt[1].astype(np.float32)
+    E2 = np.zeros_like(E)
+    for c in range(unit_sectors):
+        th = 2 * np.pi * c / unit_sectors
+        E2[4 + c] = (np.cos(th) * u1 + np.sin(th) * u2) * 20.0
+    p["unit_decoder"] = {**p["unit_decoder"],
+                         "embed_tokens": jnp.asarray(E2)}
+    return variables
+
+
 def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
                          seconds: float = 10.0, segment_ms: int = 320,
                          mt_buckets: Tuple[int, ...] = (16, 32, 64, 128),
                          unit_buckets: Tuple[int, ...] = (64, 128, 256, 512),
                          max_enc_frames: int = 512,
                          collect_replay: bool = False,
+                         pipelined: bool = False,
+                         predoctored: bool = False,
+                         scheduled: bool = False,
+                         unit_sectors: int = 32,
+                         compare_sync: bool = False,
+                         min_write_density: float = 0.0,
                          verbose: bool = False) -> Dict[str, float]:
-    """End-to-end streaming S2ST pipeline RTF through the evaluator."""
+    """End-to-end streaming S2ST pipeline RTF through the evaluator.
+
+    ``pipelined=True`` uses the overlapped runtime (policy decisions on
+    device, async lag-N fetch — numerically identical to the synchronous
+    path, tests/test_pipelined_policy.py). ``min_write_density`` asserts the
+    timed trace actually EMITS like real speech (the reference example writes
+    ~9.5 times per ~31-chunk utterance ≈ 30%, `/root/reference/
+    README.md:207-208`) — a READ-heavy trace would flatter the headline."""
     import jax
     import jax.numpy as jnp
 
@@ -236,7 +431,16 @@ def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
 
     if model is None:
         model, variables = build_full_model()
-    variables = doctor_streaming_params(variables)
+    sched_audios = None
+    if scheduled:
+        sched_audios, sched_steps = zip(*[
+            make_bench_audio(seconds, 100 + i, segment_ms=segment_ms)
+            for i in range(utterances)])
+        variables = doctor_streaming_params_scheduled(
+            model, variables, sched_audios, sched_steps,
+            unit_sectors=unit_sectors)
+    elif not predoctored:
+        variables = doctor_streaming_params(variables)
 
     voc = CodeGenerator(DEFAULT_VOCODER_CFG)
     vinit = jax.jit(lambda r: voc.init(r, jnp.zeros((1, 8), jnp.int32),
@@ -253,22 +457,27 @@ def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
     unit_dict = Dictionary.units(1000)
     unit_dict.add_blank()
     agent = StreamSpeechS2STAgent(
-        engine, StreamSpeechAgentConfig(source_segment_size=segment_ms),
+        engine, StreamSpeechAgentConfig(source_segment_size=segment_ms,
+                                        pipelined=pipelined),
         src_dict, src_dict, unit_dict)
 
     t0 = time.perf_counter()
     n_prog = engine.warmup(chunk=agent.cfg.chunk_size,
                            conv_chunk=agent.cfg.conv_chunk_size,
-                           whole_word=agent.cfg.whole_word)
+                           whole_word=agent.cfg.whole_word,
+                           pipelined=pipelined)
     warmup_s = time.perf_counter() - t0
     if verbose:
         print(f"engine.warmup: {n_prog} programs in {warmup_s:.1f}s",
               flush=True)
 
-    rng = np.random.RandomState(0)
-    n_samples = int(seconds * 16000)
-    sources = [list(rng.uniform(-0.3, 0.3, n_samples))
-               for _ in range(utterances)]
+    if sched_audios is not None:
+        sources = [list(a) for a in sched_audios]
+    else:
+        rng = np.random.RandomState(0)
+        n_samples = int(seconds * 16000)
+        sources = [list(rng.uniform(-0.3, 0.3, n_samples))
+                   for _ in range(utterances)]
     refs = ["ref"] * utterances
 
     ev0 = SentenceLevelEvaluator(agent, source_segment_size=segment_ms,
@@ -303,19 +512,51 @@ def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
         engine.new_session = orig_new_session
     audio = utterances * seconds
     n_writes = sum(len(ins.delays) for ins in ev.instances.values())
-    return {
+    n_chunks = int(audio * 1000 / segment_ms)
+    density = n_writes / max(n_chunks, 1)
+    if density < min_write_density:
+        raise AssertionError(
+            f"write density {density:.2f} ({n_writes}/{n_chunks}) below the "
+            f"required {min_write_density} — the timed trace is READ-heavy "
+            f"and would flatter the headline (reference ≈ 0.30)")
+    out = {
         "engine": engine,
         "replay_records": collected if collect_replay else None,
         "pipeline_rtf": wall / audio,
         "pipeline_xrealtime": audio / wall,
         "n_writes": n_writes,
-        "n_chunks": int(audio * 1000 / segment_ms),
+        "n_chunks": n_chunks,
+        "write_density": density,
         "warmup_programs": n_prog,
         "warmup_s": warmup_s,
         "scores": {k: scores[k] for k in
                    ("AL", "AL_CA", "RTF", "RTF_CA", "NumChunks",
                     "StartOffset") if k in scores},
     }
+    if pipelined and compare_sync:
+        # synchronous fused path on the SAME warmed engine — both the
+        # apples-to-apples comparison and the source of the replay records
+        # (the pipelined loop never round-trips per chunk, so the nosync
+        # replay keys off the sync pass's recorded calls)
+        sync_agent = StreamSpeechS2STAgent(
+            engine, StreamSpeechAgentConfig(source_segment_size=segment_ms),
+            src_dict, src_dict, unit_dict)
+        if collect_replay:
+            engine.new_session = recording_new_session
+        ev_s = SentenceLevelEvaluator(sync_agent,
+                                      source_segment_size=segment_ms,
+                                      quality_metrics=[])
+        t0 = time.perf_counter()
+        ev_s(sources, refs)
+        sync_wall = time.perf_counter() - t0
+        if collect_replay:
+            engine.new_session = orig_new_session
+        out["sync_xrealtime"] = audio / sync_wall
+        sw = sum(len(i.delays) for i in ev_s.instances.values())
+        out["sync_n_writes"] = sw
+        if sw != n_writes:
+            out["writes_mismatch"] = True  # bf16/tie flips only; flagged
+    return out
 
 
 def measure_nosync_rtf(engine, session_records, segment_ms: int = 320,
