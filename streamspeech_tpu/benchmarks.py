@@ -56,9 +56,11 @@ def build_full_model(seed: int = 0, dtype=None):
     import jax
     import jax.numpy as jnp
 
+    from streamspeech_tpu import enable_persistent_compile_cache
     from streamspeech_tpu.models.streamspeech import StreamSpeechModel
     from streamspeech_tpu.train.synthetic import full_config
 
+    enable_persistent_compile_cache()
     cfg = full_config()
     model = StreamSpeechModel(cfg, dtype=dtype or jnp.float32)
     src = jnp.zeros((1, 64, 80))

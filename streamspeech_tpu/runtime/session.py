@@ -60,6 +60,8 @@ class StreamSpeechEngine:
         unit_buckets: Tuple[int, ...] = (64, 128, 256, 512),
         max_dur_per_unit: int = 4,
     ):
+        from streamspeech_tpu import enable_persistent_compile_cache
+        enable_persistent_compile_cache()
         self.model = model
         self.variables = {"params": variables["params"],
                           "batch_stats": variables.get("batch_stats", {})}

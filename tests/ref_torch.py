@@ -276,3 +276,170 @@ def make_torch_vocoder_ckpt(tmp_path, num_embeddings: int = 20,
     cfg_path = Path(tmp_path) / "vocoder_config.json"
     cfg_path.write_text(json.dumps(cfg))
     return str(ckpt), str(cfg_path)
+
+
+# ---------------------------------------------------------------------------
+# The reference's ACTUAL streaming decoder wiring (VERDICT r2 Missing #3):
+# researches/ctc_unity/modules/transformer_decoder.py (streaming-masked MT
+# decoder, build_streaming_mask/_with_probs) and
+# ctc_transformer_unit_decoder.py (x25 upsample + prefix continuation).
+# ---------------------------------------------------------------------------
+
+
+class _CfgNode(types.SimpleNamespace):
+    pass
+
+
+def _transformer_cfg_from_namespace(args):
+    """Minimal stand-in for fairseq TransformerConfig.from_namespace: maps
+    `decoder_x`/`encoder_x` namespace attrs onto cfg.decoder.x / cfg.encoder.x
+    and fills the defaults the ctc_unity decoder/layer code reads."""
+    if isinstance(args, _CfgNode):  # already converted (fairseq allows both)
+        return args
+    g = lambda k, d=None: getattr(args, k, d)
+    cfg = _CfgNode(
+        dropout=g("dropout", 0.0),
+        attention_dropout=g("attention_dropout", 0.0),
+        activation_dropout=g("activation_dropout", 0.0),
+        relu_dropout=g("relu_dropout", 0.0),
+        activation_fn=g("activation_fn", "relu"),
+        adaptive_input=False,
+        adaptive_softmax_cutoff=None,
+        adaptive_softmax_dropout=0.0,
+        adaptive_softmax_factor=4,
+        base_layers=0,
+        checkpoint_activations=False,
+        cross_self_attention=False,
+        export=False,
+        layernorm_embedding=g("layernorm_embedding", False),
+        max_target_positions=g("max_target_positions", 1024),
+        min_params_to_wrap=int(1e9),
+        no_decoder_final_norm=g("no_decoder_final_norm", False),
+        no_scale_embedding=g("no_scale_embedding", False),
+        no_token_positional_embeddings=g("no_token_positional_embeddings",
+                                         False),
+        offload_activations=False,
+        share_decoder_input_output_embed=g(
+            "share_decoder_input_output_embed", True),
+        tie_adaptive_proj=False,
+        tie_adaptive_weights=False,
+    )
+    cfg.quant_noise = _CfgNode(pq=0.0, pq_block_size=8)
+    cfg.decoder = _CfgNode(
+        embed_dim=g("decoder_embed_dim", 16),
+        ffn_embed_dim=g("decoder_ffn_embed_dim", 32),
+        layers=g("decoder_layers", 2),
+        attention_heads=g("decoder_attention_heads", 2),
+        normalize_before=g("decoder_normalize_before", True),
+        learned_pos=g("decoder_learned_pos", False),
+        layerdrop=0.0,
+        output_dim=g("decoder_output_dim", g("decoder_embed_dim", 16)),
+        xformers_att_config=None,
+    )
+    cfg.encoder = _CfgNode(
+        embed_dim=g("encoder_embed_dim", g("decoder_embed_dim", 16)),
+        ffn_embed_dim=g("encoder_ffn_embed_dim", 32),
+        attention_heads=g("encoder_attention_heads", 2),
+        normalize_before=True,
+        xformers_att_config=None,
+    )
+    return cfg
+
+
+def _install_decoder_stubs() -> None:
+    if getattr(_install_decoder_stubs, "_done", False):
+        return
+    _install_stubs()
+
+    modules = sys.modules["fairseq.modules"]
+    fairseq = sys.modules["fairseq"]
+
+    class AdaptiveSoftmax(nn.Module):  # never constructed (cutoff=None)
+        pass
+
+    class BaseLayer(nn.Module):  # never constructed (base_layers=0)
+        pass
+
+    class LayerDropModuleList(nn.ModuleList):
+        def __init__(self, p, modules=None):
+            super().__init__(modules)
+            self.p = p
+
+    sinpos = sys.modules["fairseq.modules.sinusoidal_positional_embedding"] \
+        if "fairseq.modules.sinusoidal_positional_embedding" in sys.modules \
+        else _load_file(
+            "fairseq.modules.sinusoidal_positional_embedding",
+            REF / "fairseq/fairseq/modules/sinusoidal_positional_embedding.py")
+    modules.SinusoidalPositionalEmbedding = sinpos.SinusoidalPositionalEmbedding
+
+    def PositionalEmbedding(num_embeddings, embedding_dim, padding_idx,
+                            learned=False):
+        # fairseq/fairseq/modules/positional_embedding.py:13-35 (sinusoidal
+        # branch only — the ctc_unity arch uses fixed positions)
+        assert not learned
+        return sinpos.SinusoidalPositionalEmbedding(
+            embedding_dim, padding_idx,
+            init_size=num_embeddings + padding_idx + 1)
+
+    modules.AdaptiveSoftmax = AdaptiveSoftmax
+    modules.BaseLayer = BaseLayer
+    modules.LayerDropModuleList = LayerDropModuleList
+    modules.PositionalEmbedding = PositionalEmbedding
+
+    utils = sys.modules["fairseq.utils"]
+    utils.safe_getattr = lambda obj, k, default=None: getattr(obj, k, default)
+    utils.safe_hasattr = lambda obj, k: hasattr(obj, k)
+
+    ca = _mkmod("fairseq.modules.checkpoint_activations")
+    ca.checkpoint_wrapper = lambda m, offload_to_cpu=False: m
+
+    dist = _mkmod("fairseq.distributed")
+    dist.fsdp_wrap = lambda m, **kw: m
+    fairseq.distributed = dist
+
+    tconf = _mkmod("fairseq.models.transformer")
+    tconf.TransformerConfig = types.SimpleNamespace(
+        from_namespace=staticmethod(_transformer_cfg_from_namespace))
+    tconf.Linear = lambda i, o, bias=True: nn.Linear(i, o, bias=bias)
+    tconf.TransformerModelBase = type("TransformerModelBase", (), {})
+    sys.modules["fairseq.models"].transformer = tconf
+
+    fmodels = sys.modules["fairseq.models"]
+    fmodels.FairseqIncrementalDecoder = \
+        sys.modules["fairseq.models.fairseq_incremental_decoder"] \
+        .FairseqIncrementalDecoder
+
+    cu = _mkmod("fairseq.checkpoint_utils")
+    fairseq.checkpoint_utils = cu
+    s2s_mod = _mkmod("fairseq.models.speech_to_speech.modules.ctc_decoder")
+    s2s_mod.CTCDecoder = type("CTCDecoder", (), {})
+    se_mod = _mkmod("fairseq.models.speech_to_speech.modules.stacked_embedding")
+    se_mod.StackedEmbedding = type("StackedEmbedding", (), {})
+    s2t = _mkmod("fairseq.models.speech_to_text")
+    s2t.S2TTransformerEncoder = type("S2TTransformerEncoder", (), {})
+    tts = _mkmod("fairseq.models.text_to_speech")
+    tts.TTSTransformerDecoder = type("TTSTransformerDecoder", (), {})
+
+    _install_decoder_stubs._done = True
+
+
+def load_reference_decoders() -> types.SimpleNamespace:
+    """Load the reference's real ctc_unity decoder classes (stubbing only the
+    fairseq plumbing they never execute on the tested configs)."""
+    _install_decoder_stubs()
+    _mkmod("ctc_unity")
+    _mkmod("ctc_unity.modules")
+    _load_file("ctc_unity.modules.multihead_attention",
+               REF / "researches/ctc_unity/modules/multihead_attention.py")
+    _load_file("ctc_unity.modules.transformer_layer",
+               REF / "researches/ctc_unity/modules/transformer_layer.py")
+    td = _load_file("ctc_unity.modules.transformer_decoder",
+                    REF / "researches/ctc_unity/modules/transformer_decoder.py")
+    ud = _load_file(
+        "ctc_unity.modules.ctc_transformer_unit_decoder",
+        REF / "researches/ctc_unity/modules/ctc_transformer_unit_decoder.py")
+    return types.SimpleNamespace(
+        TransformerDecoder=td.TransformerDecoder,
+        TransformerDecoderBase=td.TransformerDecoderBase,
+        CTCTransformerUnitDecoder=ud.CTCTransformerUnitDecoder,
+    )
