@@ -38,7 +38,8 @@ def main(argv=None):
     p.add_argument("--checkpoint", type=str, default=None)
     p.add_argument("--fairseq-checkpoint", type=str, default=None)
     p.add_argument("--agent",
-                   choices=["s2st", "s2tt", "asr", "t2t-waitk", "t2t-hmt"],
+                   choices=["s2st", "s2tt", "asr", "t2t-waitk", "t2t-hmt",
+                            "t2t-hmt-beam"],
                    default="s2st")
     p.add_argument("--waitk", type=int, default=3,
                    help="k for the t2t-waitk agent")
@@ -317,8 +318,9 @@ def _run_t2t(args):
             setattr(dec, k, v)
     enc_layers = (cfg_raw or {}).get("encoder_layers", 6)
 
-    if args.agent == "t2t-hmt":
-        from streamspeech_tpu.models.hmt import HMTAgent, HMTModel
+    if args.agent in ("t2t-hmt", "t2t-hmt-beam"):
+        from streamspeech_tpu.models.hmt import (HMTAgent, HMTModel,
+                                                 HMTSimBeamAgent)
 
         model = HMTModel(len(src_dict), dec, encoder_layers=enc_layers,
                          first_read=(cfg_raw or {}).get("first_read", 3),
@@ -330,7 +332,11 @@ def _run_t2t(args):
             variables = jax.jit(lambda r: model.init(
                 r, jnp.full((1, 8), 4, jnp.int32), jnp.full((1,), 8, jnp.int32),
                 jnp.full((1, 4), 4, jnp.int32)))(jax.random.PRNGKey(0))
-        agent = HMTAgent(model, variables, src_dict, tgt_dict)
+        if args.agent == "t2t-hmt-beam":
+            agent = HMTSimBeamAgent(model, variables, src_dict, tgt_dict,
+                                    beam_size=5)
+        else:
+            agent = HMTAgent(model, variables, src_dict, tgt_dict)
     else:
         from streamspeech_tpu.models.text_mt import TextMTModel, WaitkTextAgent
 

@@ -449,3 +449,245 @@ def hmt_beam_generate(model: HMTModel, variables, src_ids, beam_size: int = 5,
             scores = np.concatenate([scores, np.full((k,), -np.inf)])
     finalized.sort(key=lambda x: -x[0])
     return [(toks, float(sc)) for sc, toks in finalized[:bsz]]
+
+
+# ---------------------------------------------------------------------------
+# simultaneous beam generation
+# ---------------------------------------------------------------------------
+
+
+def _sim_step_program(model: HMTModel):
+    """Jitted per-step program for the sim beam: emission log-probs and
+    transition probs for ALL candidate states at target position ``pos``,
+    with cross-attention clipped to the first ``num_read`` source tokens
+    (the unidirectional encoder makes full-encode + length-clamp exactly
+    equal to the reference's partial-encoder slicing,
+    `hmt_sim_sequence_generator.py:755-771`)."""
+    hit = _BEAM_STEP_CACHE.get(("sim", id(model)))
+    if hit is not None and hit[0] is model:
+        return hit[1]
+
+    @jax.jit
+    def _step(variables, src, num_read, prev, pos):
+        em, tr, _ = model.apply(variables, src, num_read, prev)
+        lp = jax.nn.log_softmax(em.astype(jnp.float32), -1)[:, pos]  # [B,K,V]
+        tp = jax.nn.softmax(tr.astype(jnp.float32), -1)[:, pos]      # [B,K,2]
+        return lp, tp
+
+    _BEAM_STEP_CACHE[("sim", id(model))] = (model, _step)
+    return _step
+
+
+def hmt_sim_beam_generate(model: HMTModel, variables, src_ids,
+                          src_finished: bool,
+                          prefix_tokens=None, num_read_start: int = 1,
+                          beam_size: int = 5, max_len: int = 100,
+                          len_penalty: float = 1.0, min_len: int = 1,
+                          eos: int = 2, pad: int = PAD, step_fn=None):
+    """SIMULTANEOUS beam search with HMM read-states per hypothesis — the
+    port of `agent/mt/hmt_sim_sequence_generator.py:206-753` onto the JAX
+    HMT model. Decoding interleaves READs with beam WRITE steps:
+
+    - while ``num_read - first_read - step < 0`` the generator must READ
+      (`:434-436`); when the low-boundary state's translate probability is
+      below 0.5 it keeps READing within the candidate window (`:464-470`);
+    - each beam row then translates from its FIRST state with
+      p(translate) >= 0.5, transitions for states already passed by the
+      running-max read being masked to 0 (`:456-461, 486-489`);
+    - when more source is wanted but none is available and the source is
+      unfinished, ``return_read_flag`` forces EOS (`:438-440, 472-481`) so
+      the caller can commit the stable tokens and READ;
+    - standard fairseq beam mechanics otherwise: 2x-beam candidate
+      expansion, EOS finalization with score/len**penalty, per-row reorder
+      of the read trace (`:422-431`).
+
+    Returns (finalized, return_read_flag, num_read) where finalized is a
+    best-first list of (tokens WITHOUT the forced/natural EOS, score,
+    reads) and ``reads[i]`` is the running-max source tokens read when
+    token i was emitted — the READ/WRITE trace
+    (tests/test_hmt.py compares it against an independent python port).
+
+    ``step_fn(prev [B,S], pos, num_read) -> (lprobs [B,K,V], tprobs
+    [B,K,2])`` overrides the model program (testing with constructed HMMs).
+    """
+    import numpy as np
+
+    fr, kk = model.first_read, model.cands_per_token
+    if step_fn is None:
+        _step = _sim_step_program(model)
+        n_src = len(src_ids)
+        msrc = -(-max(n_src, 1) // 8) * 8
+        src = np.full((beam_size, msrc), pad, np.int32)
+        src[:, :n_src] = src_ids
+
+        def step_fn(prev, pos, num_read):
+            lp, tp = jax.device_get(_step(
+                variables, src,
+                np.full((beam_size,), num_read, np.int32),
+                prev, jnp.asarray(pos, jnp.int32)))
+            return lp, tp
+    else:
+        n_src = len(src_ids)
+
+    bsz = beam_size
+    tokens = np.full((bsz, max_len + 2), pad, np.int32)
+    tokens[:, 0] = eos
+    start = 0
+    if prefix_tokens:
+        tokens[:, 1:len(prefix_tokens) + 1] = prefix_tokens
+        start = len(prefix_tokens)
+    scores = np.zeros((bsz,), np.float64)
+    scores[1:] = -np.inf
+    reads = np.zeros((bsz, max_len + 2), np.int32)
+    n_reads = start
+    finalized = []
+    num_read = min(max(num_read_start, 1), n_src)
+    return_read_flag = False
+
+    step_i = start
+    while step_i < max_len + 1:
+        finish_read = num_read >= n_src
+        if num_read - fr - step_i < 0 and not finish_read:
+            num_read += 1
+            continue
+        if num_read - fr - step_i < 0 and finish_read and not src_finished:
+            return_read_flag = True
+
+        pm = -(-(step_i + 1) // 8) * 8
+        prev = np.full((bsz, pm), pad, np.int32)
+        prev[:, :step_i + 1] = tokens[:, :step_i + 1]
+        lp, tp = step_fn(prev, step_i, num_read)
+        lp = np.asarray(lp, np.float64)
+        tp = np.asarray(tp, np.float64)
+
+        # running-max read monotonicity: states whose candidate moment lies
+        # before what a row has already read cannot be selected (`:456-461`)
+        cands_row = np.minimum(fr + step_i + np.arange(kk), n_src)  # [K]
+        if n_reads > start or start > 0:
+            prev_read = reads[:, n_reads - 1] if n_reads > 0 else \
+                np.zeros((bsz,), np.int32)
+            t_masked = np.where(cands_row[None, :] < prev_read[:, None],
+                                0.0, tp[:, :, 1])
+        else:
+            t_masked = tp[:, :, 1]
+
+        k_low = num_read - fr - step_i
+        if (k_low < kk and not finish_read
+                and t_masked[0, max(k_low, 0)] < 0.5):
+            num_read += 1
+            continue
+        if (k_low < kk and not src_finished and not return_read_flag
+                and finish_read and t_masked[0, max(k_low, 0)] < 0.5):
+            return_read_flag = True
+
+        ok = t_masked >= 0.5                             # [B, K]
+        sel = np.where(ok.any(1), ok.argmax(1), 0)       # first True (`:486`)
+        row_lp = np.take_along_axis(lp, sel[:, None, None].repeat(
+            lp.shape[2], 2), axis=1)[:, 0]               # [B, V]
+
+        read_now = np.maximum(
+            np.full((bsz,), num_read, np.int32),
+            reads[:, n_reads - 1] if n_reads > 0
+            else np.zeros((bsz,), np.int32))
+        row_lp[:, pad] = -np.inf
+        if return_read_flag:
+            keep = row_lp[:, eos].copy()
+            row_lp[:] = -np.inf
+            row_lp[:, eos] = keep
+        if step_i < min_len:
+            row_lp[:, eos] = -np.inf
+        if step_i >= max_len:
+            keep = row_lp[:, eos].copy()
+            row_lp[:] = -np.inf
+            row_lp[:, eos] = keep
+
+        cand = scores[:, None] + row_lp
+        flat = cand.reshape(-1)
+        top = np.argsort(-flat)[: 2 * bsz]
+        new_rows = []
+        for f in top:
+            b, t = divmod(int(f), row_lp.shape[1])
+            sc = flat[f]
+            if not np.isfinite(sc):
+                continue
+            if t == eos:
+                norm = sc / float((step_i + 1) ** len_penalty)
+                finalized.append((norm, tokens[b, 1:step_i + 1].tolist(),
+                                  reads[b, :n_reads].tolist()))
+            elif len(new_rows) < bsz:
+                new_rows.append((b, t, sc))
+        if len(finalized) >= bsz or not new_rows:
+            break
+        order = np.asarray([b for b, _, _ in new_rows], np.int32)
+        tokens = tokens[order]
+        tokens[:, step_i + 1] = [t for _, t, _ in new_rows]
+        reads = reads[order]
+        reads[:, n_reads] = read_now[order]
+        n_reads += 1
+        scores = np.asarray([sc for _, _, sc in new_rows], np.float64)
+        if len(new_rows) < bsz:
+            k = bsz - len(new_rows)
+            tokens = np.concatenate([tokens, tokens[-1:].repeat(k, 0)], 0)
+            reads = np.concatenate([reads, reads[-1:].repeat(k, 0)], 0)
+            scores = np.concatenate([scores, np.full((k,), -np.inf)])
+        step_i += 1
+
+    finalized.sort(key=lambda x: -x[0])
+    out = [(toks, float(sc), rd) for sc, toks, rd in finalized[:bsz]]
+    return out, return_read_flag, num_read
+
+
+@AGENTS.register("hmt_text_beam")
+class HMTSimBeamAgent(HMTAgent):
+    """Simultaneous HMT agent with BEAM decoding — the quality path between
+    the greedy sim agent and the offline beam: each policy call re-runs the
+    sim beam over the available source with the committed hypothesis as the
+    beam prefix; tokens decoded before the generator demanded more source
+    are committed and written (`agent/mt/hmt_sim_sequence_generator.py`
+    semantics; READ surfaces as return_read_flag)."""
+
+    def __init__(self, model, variables, src_dict, tgt_dict,
+                 beam_size: int = 5, max_len: int = 100):
+        super().__init__(model, variables, src_dict, tgt_dict,
+                         max_len=max_len)
+        self.beam_size = beam_size
+
+    def reset(self):
+        super().reset()
+        self._num_read = 1
+
+    def policy(self):
+        from streamspeech_tpu.agents.base import (ReadAction, TextSegment,
+                                                  WriteAction)
+
+        finished = self.states.source_finished
+        src_ids = [self.src_dict.index(w) for w in self.states.source] or \
+            [self.src_dict.eos()]
+        out, need_read, self._num_read = hmt_sim_beam_generate(
+            self.model, self.variables, src_ids, finished,
+            prefix_tokens=list(self.hyp), num_read_start=self._num_read,
+            beam_size=self.beam_size, max_len=self.max_len,
+            eos=self.tgt_dict.eos())
+        if not out:
+            if finished:
+                self.states.target_finished = True
+                return WriteAction(TextSegment(content="", finished=True),
+                                   finished=True)
+            return ReadAction()
+        toks = out[0][0]
+        new = toks[len(self.hyp):]
+        if need_read and not finished:
+            if not new:
+                return ReadAction()
+            self.hyp.extend(new)
+            return WriteAction(TextSegment(
+                content=" ".join(self.tgt_dict[t] for t in new),
+                finished=False), finished=False)
+        # finalized naturally (EOS with the available source)
+        self.hyp.extend(new)
+        done = finished
+        if done:
+            self.states.target_finished = True
+        return WriteAction(TextSegment(
+            content=" ".join(self.tgt_dict[t] for t in new),
+            finished=done), finished=done)

@@ -5,6 +5,7 @@ simultaneous agent."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import optax
 
 from streamspeech_tpu.config import DecoderConfig
@@ -192,3 +193,213 @@ def test_hmt_beam_generate():
                               max_len=8, min_len=1)
     assert again == hyps4
     assert isinstance(sc1, float)
+
+
+# ---------------------------------------------------------------------------
+# simultaneous BEAM generation (VERDICT r2 Missing #1):
+# models/hmt.py hmt_sim_beam_generate vs an independent torch transcription
+# of `agent/mt/hmt_sim_sequence_generator.py:206-753`
+# ---------------------------------------------------------------------------
+
+
+def _torch_port_sim_generate(step_fn, n_src, src_finished, fr, kk, beam_size,
+                             max_len, vocab, eos=2, pad=1, min_len=1,
+                             len_penalty=1.0):
+    """Line-faithful torch transcription of the reference sim generator's
+    single-sentence control flow: read gates (`:434-440,464-481`), monotone
+    transition masking (`:456-461`), first-confident-state selection
+    (`:486-489`), forced-EOS return_read_flag, 2x-beam expansion with EOS
+    finalization and active-row reordering incl. the read trace
+    (`:422-431,560-740`)."""
+    import torch
+
+    bsz = beam_size
+    tokens = torch.full((bsz, max_len + 2), pad, dtype=torch.long)
+    tokens[:, 0] = eos
+    scores = torch.zeros(bsz)
+    scores[1:] = -float("inf")
+    reads = None
+    read = None
+    finalized = []
+    num_read = 1
+    return_read_flag = False
+    step = 0
+    while step < max_len + 1:
+        finish_read = num_read >= n_src
+        if num_read - fr - step < 0 and not finish_read:
+            num_read += 1
+            continue
+        if num_read - fr - step < 0 and finish_read and not src_finished:
+            return_read_flag = True
+
+        lp_np, tp_np = step_fn(tokens[:, :step + 1].numpy(), step, num_read)
+        lprobs = torch.tensor(lp_np, dtype=torch.float64)
+        transition_probs = torch.tensor(tp_np, dtype=torch.float64)
+
+        if read is not None:
+            cands = torch.arange(kk).view(1, kk, 1) + fr + step
+            cands = cands.clamp(0, num_read)
+            transition_mask = cands[:, :, :] < read.unsqueeze(2)
+            transition_probs = transition_probs.masked_fill(
+                transition_mask.repeat(bsz, 1, 1)
+                if transition_mask.size(0) == 1 else transition_mask, 0)
+
+        if (num_read - fr - step < kk and not finish_read
+                and transition_probs[0][num_read - fr - step][1] < 0.5):
+            num_read += 1
+            continue
+        if (num_read - fr - step < kk and not src_finished
+                and not return_read_flag and finish_read
+                and transition_probs[0][num_read - fr - step][1] < 0.5):
+            return_read_flag = True
+
+        next_selected_idx = (transition_probs[:, :, 1:] >= 0.5).max(
+            dim=1, keepdim=True)[1]
+
+        new_read = torch.full([bsz, 1], num_read)
+        if reads is None:
+            reads = new_read
+            read = new_read
+        else:
+            read = new_read.max(reads[:, -1:])
+            reads = torch.cat((reads, read), dim=1)
+
+        lprobs = lprobs.gather(
+            dim=1, index=next_selected_idx.repeat(1, 1, vocab)).squeeze(1)
+        if return_read_flag:
+            lprobs[:, :eos] = -float("inf")
+            lprobs[:, eos + 1:] = -float("inf")
+        lprobs[:, pad] = -float("inf")
+        if step < min_len:
+            lprobs[:, eos] = -float("inf")
+        if step >= max_len:
+            keep = lprobs[:, eos].clone()
+            lprobs[:] = -float("inf")
+            lprobs[:, eos] = keep
+
+        cand = scores.double().unsqueeze(1) + lprobs
+        flat = cand.view(-1)
+        top_scores, top_idx = torch.topk(
+            flat.nan_to_num(nan=-float("inf")), 2 * bsz)
+        new_rows = []
+        for sc, f in zip(top_scores.tolist(), top_idx.tolist()):
+            b, t = divmod(int(f), vocab)
+            if sc == -float("inf"):
+                continue
+            if t == eos:
+                norm = sc / float((step + 1) ** len_penalty)
+                finalized.append((norm, tokens[b, 1:step + 1].tolist(),
+                                  reads[b, :-1].tolist() if reads.size(1) > 0
+                                  else []))
+            elif len(new_rows) < bsz:
+                new_rows.append((b, t, sc))
+        if len(finalized) >= bsz or not new_rows:
+            break
+        order = torch.tensor([b for b, _, _ in new_rows])
+        tokens = tokens.index_select(0, order)
+        tokens[:, step + 1] = torch.tensor([t for _, t, _ in new_rows])
+        reads = reads.index_select(0, order)
+        scores = torch.tensor([sc for _, _, sc in new_rows])
+        if len(new_rows) < bsz:
+            k = bsz - len(new_rows)
+            tokens = torch.cat([tokens, tokens[-1:].repeat(k, 1)])
+            reads = torch.cat([reads, reads[-1:].repeat(k, 1)])
+            scores = torch.cat([scores,
+                                torch.full((k,), -float("inf"))])
+        step += 1
+
+    finalized.sort(key=lambda x: -x[0])
+    return finalized[:bsz], return_read_flag, num_read
+
+
+def _synthetic_step_fn(seed, vocab, kk, peaked=3.0):
+    """Deterministic random HMM tables keyed by (context hash, num_read)."""
+    import numpy as np
+
+    def fn(prev, pos, num_read):
+        b = prev.shape[0]
+        lps, tps = [], []
+        for row in range(b):
+            key = (seed, tuple(int(x) for x in prev[row, :pos + 1]),
+                   pos, num_read)
+            r = np.random.RandomState(abs(hash(key)) % (2 ** 31))
+            e = r.randn(kk, vocab) * peaked
+            e[:, 1] = -1e9  # pad
+            lp = e - np.log(np.exp(e).sum(-1, keepdims=True))
+            t = r.rand(kk)
+            t[-1] = 1.0  # last state must translate (model invariant)
+            tp = np.stack([1 - t, t], axis=-1)
+            lps.append(lp)
+            tps.append(tp)
+        return np.stack(lps), np.stack(tps)
+
+    return fn
+
+
+@pytest.mark.parametrize("seed,beam,src_finished", [
+    (0, 2, True), (1, 4, True), (2, 3, False), (5, 2, False),
+])
+def test_sim_beam_matches_reference_port(seed, beam, src_finished):
+    from streamspeech_tpu.models.hmt import HMTModel, hmt_sim_beam_generate
+
+    vocab, kk, fr, n_src, max_len = 12, 3, 2, 7, 8
+    fn = _synthetic_step_fn(seed, vocab, kk)
+    model = HMTModel.__new__(HMTModel)  # step_fn path: only fr/kk are read
+    object.__setattr__(model, "first_read", fr)
+    object.__setattr__(model, "cands_per_token", kk)
+
+    ours, flag, nr = hmt_sim_beam_generate(
+        model, None, list(range(4, 4 + n_src)), src_finished,
+        beam_size=beam, max_len=max_len, step_fn=fn)
+    ref, flag_r, nr_r = _torch_port_sim_generate(
+        fn, n_src, src_finished, fr, kk, beam, max_len, vocab)
+
+    assert flag == flag_r
+    assert nr == nr_r
+    assert len(ours) == len(ref)
+    for (t_a, s_a, r_a), (s_b, t_b, r_b) in zip(ours, ref):
+        assert t_a == t_b, (t_a, t_b)
+        assert abs(s_a - s_b) < 1e-6  # port keeps fp32 scores
+        assert r_a == r_b, (r_a, r_b)  # READ/WRITE trace
+
+
+def test_sim_beam_beats_greedy():
+    """Garden-path construction: token A is locally best at step 0 but leads
+    to a low-probability continuation; only beam > 1 keeps B and wins."""
+    import numpy as np
+
+    from streamspeech_tpu.models.hmt import HMTModel, hmt_sim_beam_generate
+
+    vocab, kk, fr = 8, 2, 1
+    A, B = 4, 5
+
+    def fn(prev, pos, num_read):
+        b = prev.shape[0]
+        lp = np.full((b, kk, vocab), np.log(1e-6))
+        tp = np.zeros((b, kk, 2))
+        tp[:, :, 1] = 1.0
+        for row in range(b):
+            ctx = [int(x) for x in prev[row, 1:pos + 1]]
+            if pos == 0:
+                lp[row, :, A] = np.log(0.6)
+                lp[row, :, B] = np.log(0.39)
+            elif ctx[:1] == [A]:
+                lp[row, :, 2] = np.log(0.05)   # trap: everything unlikely
+                lp[row, :, A] = np.log(0.05)
+            elif ctx[:1] == [B]:
+                lp[row, :, 2] = np.log(0.95)   # clean finish
+        return lp, tp
+
+    model = HMTModel.__new__(HMTModel)
+    object.__setattr__(model, "first_read", fr)
+    object.__setattr__(model, "cands_per_token", kk)
+
+    greedy, _, _ = hmt_sim_beam_generate(
+        model, None, list(range(4, 12)), True, beam_size=1, max_len=6,
+        step_fn=fn)
+    beam, _, _ = hmt_sim_beam_generate(
+        model, None, list(range(4, 12)), True, beam_size=4, max_len=6,
+        step_fn=fn)
+    assert greedy[0][0][:1] == [A]
+    assert beam[0][0] == [B]
+    assert beam[0][1] > greedy[0][1] + 0.5  # decisively better score
