@@ -28,6 +28,10 @@ def main():
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute dtype (fp32 params); ~2x MXU "
                          "throughput, near-tie argmax may flip")
+    ap.add_argument("--drift", action="store_true",
+                    help="measure the bf16-vs-fp32 quality drift (unit edit "
+                         "distance, policy divergence, metric deltas) on "
+                         "identical streams instead of throughput")
     args = ap.parse_args()
 
     if args.cpu:
@@ -40,6 +44,13 @@ def main():
     if args.bf16:
         import jax.numpy as jnp
         dtype = jnp.bfloat16
+    if args.drift:
+        r = bm.measure_bf16_drift(batch=args.batch[0], seconds=args.seconds,
+                                  verbose=True)
+        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in r.items()}), flush=True)
+        return
+
     model, variables = bm.build_full_model(dtype=dtype)
     for b in args.batch:
         r = bm.measure_batched_throughput(model, variables, batch=b,

@@ -694,3 +694,94 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
         "serving_xrealtime": audio / wall,
         "serving_tick_ms": wall / (seconds * 1000 / segment_ms) * 1e3,
     }
+
+
+def measure_bf16_drift(batch: int = 8, seconds: float = 8.0,
+                       segment_ms: int = 320,
+                       mt_buckets: Tuple[int, ...] = (64,),
+                       unit_buckets: Tuple[int, ...] = (256,),
+                       verbose: bool = False) -> Dict[str, float]:
+    """Quantify the quality cost of bf16 serving (VERDICT r2 Weak #8): run
+    the batched S2ST evaluator with fp32 and bf16 COMPUTE over the SAME
+    params and identical doctored streams, and report
+    - unit_divergence: mean per-stream normalized edit distance between the
+      emitted unit sequences,
+    - policy_divergence: fraction of streams whose write positions (delays)
+      differ,
+    - AL/NumChunks deltas.
+    bf16 flips near-tie argmaxes; this turns the CLAUDE.md caveat into a
+    measured number reported next to the throughput."""
+    import jax
+    import jax.numpy as jnp
+
+    from streamspeech_tpu.agents.streamspeech import StreamSpeechAgentConfig
+    from streamspeech_tpu.dictionary import Dictionary
+    from streamspeech_tpu.eval.batched_evaluator import BatchedS2STEvaluator
+    from streamspeech_tpu.models.streamspeech import StreamSpeechModel
+    from streamspeech_tpu.models.vocoder import CodeGenerator, DEFAULT_VOCODER_CFG
+    from streamspeech_tpu.runtime.session import StreamSpeechEngine
+    from streamspeech_tpu.train.synthetic import full_config
+
+    cfg_m = full_config()
+    model32, variables = build_full_model()
+    variables = doctor_streaming_params(variables)
+    model16 = StreamSpeechModel(cfg_m, dtype=jnp.bfloat16)
+
+    voc = CodeGenerator(DEFAULT_VOCODER_CFG)
+    vinit = jax.jit(lambda r: voc.init(r, jnp.zeros((1, 8), jnp.int32),
+                                       max_frames=32))
+    voc_vars = jax.block_until_ready(vinit(jax.random.PRNGKey(1)))
+    src_dict = Dictionary()
+    for i in range(5996):
+        src_dict.add_symbol(f"▁w{i}")
+    unit_dict = Dictionary.units(1000)
+    unit_dict.add_blank()
+    cfg = StreamSpeechAgentConfig(source_segment_size=segment_ms)
+    rng = np.random.RandomState(0)
+    n = int(seconds * 16000)
+    sources = [list(rng.uniform(-0.3, 0.3, n)) for _ in range(batch)]
+    refs = ["ref"] * batch
+
+    def run(model):
+        engine = StreamSpeechEngine(model, variables, voc, voc_vars,
+                                    mt_buckets=mt_buckets,
+                                    unit_buckets=unit_buckets)
+        ev = BatchedS2STEvaluator(engine, cfg, src_dict, src_dict, unit_dict,
+                                  batch=batch, quality_metrics=[])
+        scores = ev(sources, refs)
+        return ev.instances, scores
+
+    ins32, sc32 = run(model32)
+    if verbose:
+        print("fp32 pass done", flush=True)
+    ins16, sc16 = run(model16)
+    if verbose:
+        print("bf16 pass done", flush=True)
+
+    def edit(a, b):
+        la, lb = len(a), len(b)
+        d = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev, d[0] = d[0], i
+            for j in range(1, lb + 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (a[i - 1] != b[j - 1]))
+        return d[lb]
+
+    unit_div, pol_div = [], 0
+    for k in ins32:
+        u32 = getattr(ins32[k], "final_units", [])
+        u16 = getattr(ins16[k], "final_units", [])
+        denom = max(len(u32), len(u16), 1)
+        unit_div.append(edit(u32, u16) / denom)
+        if ins32[k].delays != ins16[k].delays:
+            pol_div += 1
+    out = {
+        "drift_batch": batch,
+        "unit_divergence": float(np.mean(unit_div)),
+        "policy_divergence": pol_div / max(len(ins32), 1),
+    }
+    for m in ("AL", "NumChunks", "StartOffset"):
+        if m in sc32 and m in sc16 and sc32[m] == sc32[m]:
+            out[f"delta_{m}"] = float(sc16[m] - sc32[m])
+    return out

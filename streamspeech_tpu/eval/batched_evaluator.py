@@ -145,6 +145,11 @@ class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
                 # need the separate batched encode first
                 bs.encode_ready_blocks(cfg.chunk_size, cfg.conv_chunk_size)
             self._tick(bs, st, instances, live)
+        for i in range(b):
+            # expose per-stream terminal state for drift/quality analysis
+            # (scripts/bench_serving.py --drift compares fp32 vs bf16 runs)
+            instances[i].final_units = list(st[i].units)
+            instances[i].final_text = getattr(st[i], "emitted_text", "")
 
     def _tick(self, bs, st, instances, live) -> None:
         raise NotImplementedError
