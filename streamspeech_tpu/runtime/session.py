@@ -1126,15 +1126,20 @@ class StreamingSession:
         self._pipe_tgt_len = tgt_len
         self._pipe_n_units = n_units
 
+    def _pipe_max_len(self) -> int:
+        return min(self.e.max_mt_tokens - 2, self.e.mt_buckets[-1] - 2)
+
     def pipe_applicable(self, n_blocks_pending: int, block_enc: int) -> bool:
         steps = self.e.fused_steps
-        # conservative hypothesis-length bound: mirror + every in-flight or
-        # new chunk may accept up to `steps` tokens
-        bound = len(self.mt_tokens) + (len(self.pipe_inflight) + 1) * steps
+        # The in-program budget clamp guarantees the device hypothesis never
+        # exceeds max_len (= largest bucket - 2), and the scan appends at
+        # most `steps` KV slots beyond it before truncation — so capacity is
+        # a STATIC property, independent of how many chunks are in flight
+        # (an in-flight-scaled bound here silently de-pipelined every chunk
+        # once lag built up: the r3 bench's "pipelined ≈ sync" regression).
         return (not self.finished_input
                 and n_blocks_pending == 1
-                and bound + steps + 2 <= self.e.max_mt_tokens
-                and bound + 2 <= self.e.mt_buckets[-1]
+                and self._pipe_max_len() + steps + 2 <= self.e.max_mt_tokens
                 and self.enc_len_dispatched + block_enc
                 <= self.e.max_enc_frames)
 
@@ -1144,9 +1149,12 @@ class StreamingSession:
         """Dispatch one policy chunk against the device-resident state and
         start the async host copy of its result bundle. Never blocks."""
         steps = self.e.fused_steps
-        max_len = min(max_len, self.e.max_mt_tokens - 2,
-                      self.e.mt_buckets[-1] - 2)
-        bound = len(self.mt_tokens) + (len(self.pipe_inflight) + 1) * steps
+        max_len = min(max_len, self._pipe_max_len())
+        # bucket by the lagged mirror + in-flight growth, clamped by max_len
+        # (the device hypothesis can never exceed it); a larger-than-sync
+        # bucket only costs compute, never changes results
+        bound = min(len(self.mt_tokens)
+                    + (len(self.pipe_inflight) + 1) * steps, max_len)
         mt_cap = _bucket(min(bound + 2, self.e.mt_buckets[-1]),
                          self.e.mt_buckets)
         up = self.e.model.cfg.unit_decoder.ctc_upsample_rate
