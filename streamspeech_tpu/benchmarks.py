@@ -114,8 +114,14 @@ def measure_forward(model, variables, frames: int = 1024, mt_len: int = 24,
 def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
                        units_len: int = 256, text_len: int = 32,
                        n_iter: int = 10, pallas: bool = True,
-                       ) -> Dict[str, float]:
+                       bf16: bool = True) -> Dict[str, float]:
     """Full-model train step (fwd + bwd + Adam) throughput and MFU.
+
+    ``bf16=True`` (default) runs the step at the trainer's design point —
+    bfloat16 COMPUTE with fp32 params/optimizer (train/trainer.py docstring;
+    the reference trains fp16, `train.simul-s2st.sh:30`). The r2 driver
+    benchmarked an fp32-compute model by mistake, which is where the
+    26 ms / 25.7%-MFU vs README 14.6 ms / 45.7% discrepancy came from.
 
     MFU uses XLA's own cost analysis for the compiled step (matmul FLOPs)
     over the chip's bf16 peak; falls back to None when the backend doesn't
@@ -124,6 +130,7 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
     import os
 
     import jax
+    import jax.numpy as jnp
 
     if pallas:
         os.environ["STREAMSPEECH_PALLAS_TRAIN"] = "1"
@@ -138,7 +145,8 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
         )
 
         cfg = full_config()
-        model, variables = build_full_model()
+        model, variables = build_full_model(
+            dtype=jnp.bfloat16 if bf16 else None)
         tx = make_optimizer(OptimizationConfig(
             update_freq=1, warmup_updates=10000, lr=1e-3, clip_norm=10.0))
         step = make_train_step(model, tx,
@@ -149,10 +157,15 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
                             units_len=units_len, text_len=text_len)
         b = dict(b)
 
-        # the step donates state; time by chaining states
-        rng = jax.random.PRNGKey(1)
-        state, _ = step(state, b, rng, chunk_size=8, conv_chunk_size=8)
-        jax.block_until_ready(state.params)
+        # the step donates state; time by chaining states. Tunnel RPC
+        # discipline (CLAUDE.md): rng is a HOST int seed (inlined into the
+        # execute RPC; the key is derived inside the step) — an eager
+        # PRNGKey between chained donated dispatches measured 15 s/step —
+        # and the drain is a small device_get of the final metrics, because
+        # block_until_ready does not round-trip through the remote tunnel.
+        rng = 1
+        state, metrics = step(state, b, rng, chunk_size=8, conv_chunk_size=8)
+        float(jax.device_get(metrics["loss_mean"]))
 
         flops = None
         pallas_calls = None
@@ -179,17 +192,17 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
 
         t0 = time.perf_counter()
         for i in range(n_iter):
-            state, metrics = step(state, b, jax.random.PRNGKey(i),
+            state, metrics = step(state, b, 2 + i,
                                   chunk_size=8, conv_chunk_size=8)
-        jax.block_until_ready(state.params)
+        loss_last = float(jax.device_get(metrics["loss_mean"]))  # drain
         dt = (time.perf_counter() - t0) / n_iter
 
         out = {
             "train_step_ms": dt * 1e3,
             "train_audio_s_per_s": batch * frames * 0.01 / dt,
-            "train_loss_finite": bool(np.isfinite(float(
-                metrics["loss_mean"]))),
+            "train_loss_finite": bool(np.isfinite(loss_last)),
         }
+        out["train_compute_dtype"] = "bf16" if bf16 else "fp32"
         if pallas_calls is not None:
             out["train_pallas_calls"] = pallas_calls
         peak = chip_peak_flops()

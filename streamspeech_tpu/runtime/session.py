@@ -817,6 +817,34 @@ class StreamSpeechEngine:
     def new_session(self) -> "StreamingSession":
         return StreamingSession(self)
 
+    def close(self) -> None:
+        """Release every compiled program (and its executable cache) this
+        engine owns. A process that interleaves serving and training must be
+        able to drop a warmed engine without its residual programs/buffers
+        taxing later, unrelated jit executions (the bench.py stage-order
+        effect: a train step measured after the streaming stages degraded
+        ~27x until the engines were closed). The engine is unusable after."""
+        import gc
+
+        for name in list(vars(self)):
+            fn = getattr(self, name)
+            if callable(fn) and hasattr(fn, "lower"):  # jitted closures
+                cc = getattr(fn, "clear_cache", None)
+                if callable(cc):
+                    try:
+                        cc()
+                    except Exception:
+                        pass
+                try:
+                    delattr(self, name)
+                except AttributeError:
+                    pass
+        self.model = None
+        self.variables = None
+        self.vocoder = None
+        self.vocoder_variables = None
+        gc.collect()
+
     def warmup(self, chunk: int = 8, conv_chunk: int = 8,
                whole_word: bool = False, k1: int = 0, n: int = 1,
                max_len: int = 200, pipelined: bool = False) -> int:

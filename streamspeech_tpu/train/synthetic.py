@@ -6,7 +6,6 @@ from __future__ import annotations
 
 from typing import Dict
 
-import jax.numpy as jnp
 import numpy as np
 
 from streamspeech_tpu.config import StreamSpeechConfig
@@ -53,7 +52,12 @@ def full_config() -> StreamSpeechConfig:
 
 def synthetic_batch(cfg: StreamSpeechConfig, batch: int = 4, frames: int = 64,
                     mt_len: int = 8, units_len: int = 12, text_len: int = 6,
-                    seed: int = 0) -> Dict[str, jnp.ndarray]:
+                    seed: int = 0) -> Dict[str, np.ndarray]:
+    # HOST numpy throughout: plain numpy args passed to a jit call are
+    # inlined into the execute RPC for free through this environment's
+    # remote tunnel, while each eager `jnp.asarray` here is its own ~31 ms
+    # transfer RPC (CLAUDE.md RPC discipline). Callers that need explicit
+    # mesh placement `jax.device_put` the whole dict in one call.
     rng = np.random.RandomState(seed)
     vt = cfg.mt_decoder.vocab_size
     vu = cfg.unit_decoder.vocab_size
@@ -62,21 +66,21 @@ def synthetic_batch(cfg: StreamSpeechConfig, batch: int = 4, frames: int = 64,
     mt_tgt = np.roll(mt_prev, -1, axis=1)
     mt_tgt[:, -1] = 2
     return {
-        "src_tokens": jnp.asarray(
+        "src_tokens":
             rng.randn(batch, frames, cfg.encoder.input_feat_per_channel)
-            .astype(np.float32)),
-        "src_lengths": jnp.asarray(
-            rng.randint(frames // 2, frames + 1, size=(batch,)).astype(np.int32)),
-        "prev_output_tokens_mt": jnp.asarray(mt_prev),
-        "mt_targets": jnp.asarray(mt_tgt),
-        "target_units": jnp.asarray(
-            rng.randint(4, vu - 1, size=(batch, units_len)).astype(np.int32)),
-        "target_unit_lengths": jnp.full((batch,), units_len, dtype=jnp.int32),
-        "src_text": jnp.asarray(
-            rng.randint(4, vt, size=(batch, text_len)).astype(np.int32)),
-        "src_text_lengths": jnp.full((batch,), text_len, dtype=jnp.int32),
-        "tgt_text": jnp.asarray(
-            rng.randint(4, vt, size=(batch, text_len)).astype(np.int32)),
-        "tgt_text_lengths": jnp.full((batch,), text_len, dtype=jnp.int32),
-        "n2": jnp.asarray(2, dtype=jnp.int32),
+            .astype(np.float32),
+        "src_lengths":
+            rng.randint(frames // 2, frames + 1, size=(batch,)).astype(np.int32),
+        "prev_output_tokens_mt": mt_prev,
+        "mt_targets": mt_tgt,
+        "target_units":
+            rng.randint(4, vu - 1, size=(batch, units_len)).astype(np.int32),
+        "target_unit_lengths": np.full((batch,), units_len, dtype=np.int32),
+        "src_text":
+            rng.randint(4, vt, size=(batch, text_len)).astype(np.int32),
+        "src_text_lengths": np.full((batch,), text_len, dtype=np.int32),
+        "tgt_text":
+            rng.randint(4, vt, size=(batch, text_len)).astype(np.int32),
+        "tgt_text_lengths": np.full((batch,), text_len, dtype=np.int32),
+        "n2": np.int32(2),
     }

@@ -132,6 +132,14 @@ def make_train_step(
     @partial(jax.jit, static_argnames=("chunk_size", "conv_chunk_size"),
              donate_argnums=(0,))
     def train_step(state: TrainState, batch, rng, chunk_size, conv_chunk_size):
+        # `rng` may be a PRNG key OR a plain host int seed; the key is then
+        # derived ON DEVICE. Through this environment's remote tunnel an int
+        # is inlined into the execute RPC for free, while an eager
+        # `jax.random.PRNGKey(i)` between chained donated dispatches measured
+        # 15 s/step (CLAUDE.md RPC discipline).
+        if jnp.ndim(rng) == 0 and jnp.issubdtype(jnp.result_type(rng),
+                                                 jnp.integer):
+            rng = jax.random.PRNGKey(rng)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (loss, (metrics, new_stats)), grads = grad_fn(
             state.params, state.batch_stats, batch, rng, chunk_size,

@@ -39,6 +39,27 @@ def test_single_device_loss_decreases():
     assert int(state.step) == 8
 
 
+def test_int_seed_rng_matches_prng_key():
+    """train_step accepts a HOST int seed (free through the remote tunnel —
+    inlined into the execute RPC; an eager PRNGKey between chained donated
+    dispatches measured 15 s/step) and must give the exact PRNGKey(seed)
+    trajectory."""
+    cfg, model, variables, tx, step = build()
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    batch = synthetic_batch(cfg, batch=4)
+
+    s1 = create_sharded_state(variables, tx, mesh)
+    s1, m1 = step(s1, batch, jax.random.PRNGKey(7), chunk_size=4,
+                  conv_chunk_size=8)
+
+    variables2 = init_params(StreamSpeechModel(cfg), jax.random.PRNGKey(0))
+    s2 = create_sharded_state(variables2, tx, mesh)
+    s2, m2 = step(s2, batch, 7, chunk_size=4, conv_chunk_size=8)
+
+    np.testing.assert_allclose(float(m1["loss_mean"]), float(m2["loss_mean"]),
+                               rtol=0, atol=0)
+
+
 def test_dp_mesh_matches_single_device():
     cfg, model, variables, tx, step = build()
     batch = synthetic_batch(cfg, batch=8)
