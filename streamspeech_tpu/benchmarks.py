@@ -14,8 +14,10 @@ entry point) and ``scripts/bench_streaming.py``:
   evaluator, 320 ms chunks — the number directly comparable to the
   reference's published RTF.
 
-All timing follows the tunnel RPC discipline (CLAUDE.md): one
-block_until_ready per trial, no per-output fetches inside the loop.
+All timing follows the tunnel RPC discipline (CLAUDE.md): no per-output
+fetches inside the loop, and ONE small device_get per trial as the drain —
+block_until_ready does NOT round-trip through the remote tunnel, so timing
+loops that end with it measure dispatch rate, not execution.
 """
 
 from __future__ import annotations
@@ -73,7 +75,13 @@ def build_full_model(seed: int = 0, dtype=None):
     return model, variables
 
 
-def _median_time(fn, n_iter: int, trials: int = 3) -> float:
+def _median_time(fn, n_iter: int, trials: int = 3, drain=None) -> float:
+    """Median per-iteration wall time over `trials` runs of `n_iter` chained
+    calls. ``drain(out)`` must return a SMALL array to jax.device_get —
+    through this environment's remote tunnel ``block_until_ready`` does NOT
+    round-trip (returns ~1 ms on a pending remote execution), so without a
+    real fetch this times dispatch rate, not execution (the r2/r3 train and
+    forward numbers were wrong exactly this way)."""
     import jax
 
     times = []
@@ -82,7 +90,10 @@ def _median_time(fn, n_iter: int, trials: int = 3) -> float:
         out = None
         for _ in range(n_iter):
             out = fn()
-        jax.block_until_ready(out)
+        if drain is not None:
+            jax.device_get(drain(out))
+        else:
+            jax.block_until_ready(out)
         times.append((time.perf_counter() - t0) / n_iter)
     return sorted(times)[trials // 2]
 
@@ -103,10 +114,15 @@ def measure_forward(model, variables, frames: int = 1024, mt_len: int = 24,
     def fwd(v, src, lens, mt):
         out = model.apply(v, src, lens, mt, chunk_size=8, conv_chunk_size=8,
                           n2=1)
-        return out["unit_logits"], out["asr_logits"]
+        # tiny on-device reduction rides along as the drain target: fetching
+        # it forces the execution to have completed without pulling the big
+        # logit buffers through the tunnel (CLAUDE.md RPC discipline)
+        probe = out["unit_logits"][0, 0, 0] + out["asr_logits"][0, 0, 0]
+        return out["unit_logits"], out["asr_logits"], probe
 
-    jax.block_until_ready(fwd(variables, src, lens, mt))
-    dt = _median_time(lambda: fwd(variables, src, lens, mt), n_iter)
+    jax.device_get(fwd(variables, src, lens, mt)[2])
+    dt = _median_time(lambda: fwd(variables, src, lens, mt), n_iter,
+                      drain=lambda out: out[2])
     audio_seconds = frames * 0.01
     return {"forward_ms": dt * 1e3, "forward_xrealtime": audio_seconds / dt}
 
