@@ -19,6 +19,27 @@ import numpy as np
 import optax
 
 
+def gather_extended_logprobs(lp: jnp.ndarray, labels: jnp.ndarray,
+                             blank_id: int) -> jnp.ndarray:
+    """lp_ext[b, t, s] over the blank-interleaved extended label sequence
+    [blank, l0, blank, l1, ..., blank], built with a one-hot MATMUL instead
+    of ``take_along_axis``: the gather's transpose is a scatter-add whose
+    index vector repeats ``blank_id`` N+1 times per row, which XLA lowers to
+    a serialized scatter (measured ~150 ms of the B=8 train step's backward
+    on the v5e); the einsum form makes both directions MXU matmuls
+    (~5 GFLOP at the unit-CTC shapes — microseconds)."""
+    b, t, _ = lp.shape
+    n = labels.shape[1]
+    onehot = jax.nn.one_hot(labels, lp.shape[-1], dtype=lp.dtype)  # [B, N, V]
+    lp_lab = jnp.einsum("btv,bnv->btn", lp, onehot)                # [B, T, N]
+    lp_blank = lp[:, :, blank_id][..., None]                       # [B, T, 1]
+    inter = jnp.stack(
+        [jnp.broadcast_to(lp_blank, (b, t, n)), lp_lab],
+        axis=-1).reshape(b, t, 2 * n)
+    return jnp.concatenate(
+        [inter, jnp.broadcast_to(lp_blank, (b, t, 1))], axis=-1)
+
+
 def ctc_neg_log_likelihood(
     logits: jnp.ndarray,        # [B, T, V]
     logit_lengths: jnp.ndarray, # [B]
@@ -47,17 +68,14 @@ def ctc_neg_log_likelihood(
     s = 2 * n + 1
     lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
-    ext = jnp.full((b, s), blank_id, labels.dtype)
-    ext = ext.at[:, 1::2].set(labels)
     # states 2i+1 (label i) may skip from 2i-1 (label i-1) iff labels differ
     lbl_prev = jnp.concatenate([jnp.full((b, 1), -1, labels.dtype),
                                 labels[:, :-1]], axis=1)
     skip = jnp.zeros((b, s), bool).at[:, 1::2].set(labels != lbl_prev)
 
-    # one gather for every (frame, state) pair; the scan body then never
-    # touches the [B, T, V] tensor
-    lp_ext = jnp.take_along_axis(
-        lp, jnp.broadcast_to(ext[:, None, :], (b, t, s)), axis=-1)
+    # one matmul-gather for every (frame, state) pair; the scan body then
+    # never touches the [B, T, V] tensor
+    lp_ext = gather_extended_logprobs(lp, labels, blank_id)
     frame_valid = jnp.arange(t)[None, :] < logit_lengths[:, None]  # [B, T]
 
     def lse3(a0, a1, a2):
@@ -115,8 +133,19 @@ def ctc_loss_sum(
         per_seq = optax.ctc_loss(logits.astype(jnp.float32), logit_pad,
                                  labels, label_pad, blank_id=blank_id)
     else:
-        per_seq = ctc_neg_log_likelihood(logits, logit_lengths, labels,
-                                         label_lengths, blank_id)
+        from streamspeech_tpu.ops.pallas_ctc import (
+            ctc_neg_log_likelihood_pallas,
+            pallas_ctc_available,
+        )
+
+        if pallas_ctc_available():
+            # in-kernel T-loop: the lax.scan DP's per-iteration overhead was
+            # ~2/3 of the measured train step (see ops/pallas_ctc.py)
+            per_seq = ctc_neg_log_likelihood_pallas(
+                logits, logit_lengths, labels, label_lengths, blank_id)
+        else:
+            per_seq = ctc_neg_log_likelihood(logits, logit_lengths, labels,
+                                             label_lengths, blank_id)
     # zero_infinity=True
     per_seq = jnp.where(
         jnp.isfinite(per_seq) & (per_seq < 1e29), per_seq, 0.0)
