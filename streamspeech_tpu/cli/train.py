@@ -46,6 +46,7 @@ from streamspeech_tpu.train.trainer import (
     create_sharded_state,
     make_optimizer,
     make_train_step,
+    make_train_step_scan,
 )
 from streamspeech_tpu.utils.metrics import JsonProgress, metrics
 
@@ -60,6 +61,11 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--max-tokens", type=int, default=22000)
     p.add_argument("--max-sentences", type=int, default=0)
     p.add_argument("--update-freq", type=int, default=2)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="run K optimizer steps per device dispatch via a "
+                        "device-side scan over K stacked same-shape batches "
+                        "(amortizes per-call host/RPC overhead; multichunk "
+                        "chunk sizes are drawn per block, rng per step)")
     p.add_argument("--lr", type=float, default=1e-3)
     p.add_argument("--warmup-updates", type=int, default=10000)
     p.add_argument("--warmup-init-lr", type=float, default=1e-7)
@@ -180,6 +186,10 @@ def main(argv=None):
                               unit_blank=model_cfg.unit_decoder.vocab_size - 1,
                               weights=weights,
                               specaugment_cfg=specaugment_cfg)
+    step_fn_k = (make_train_step_scan(
+        model, tx, unit_blank=model_cfg.unit_decoder.vocab_size - 1,
+        weights=weights, specaugment_cfg=specaugment_cfg)
+        if args.steps_per_call > 1 else None)
 
     mesh = make_mesh(model=args.tp)
     # synthetic batch must divide across the data mesh axis
@@ -259,57 +269,110 @@ def main(argv=None):
     num_updates = int(state.step)
     epoch = 0
     t_last = time.perf_counter()
+
+    def draw_chunks():
+        # multichunk randomization (`speech_to_speech_ctc_asr_st_criterion.py:149-168`)
+        if args.multichunk:
+            chunk = rng.choice([8, 16, 24, 32, 99999])
+            conv_chunk = rng.choice([8, 16])
+            chunk = min(chunk, conv_chunk) if chunk < 999 else chunk
+        else:
+            chunk, conv_chunk = args.chunk_size, min(args.chunk_size, 16)
+        return int(chunk), int(conv_chunk)
+
+    def prep(batch):
+        n2 = args.n2 if args.n2 >= 0 else rng.randint(
+            1, 1 + int(batch["prev_output_tokens_mt"].shape[1]))
+        return dict(batch, n2=np.int32(n2))
+
+    def account(m):
+        """Per-update bookkeeping over an already-fetched host metric dict."""
+        nonlocal num_updates, t_last
+        num_updates += 1
+        sample_size = float(m["sample_size"])
+        metrics.log_scalar("loss", float(m["loss_mean"]))
+        metrics.log_scalar("unit_ctc", float(m["unit_ctc_loss"]) / sample_size)
+        metrics.log_scalar("grad_norm", float(m["grad_norm"]))
+        metrics.log_scalar("overflow", float(m["overflow"]))
+        if num_updates % args.log_interval == 0:
+            stats = metrics.get_smoothed_values("default")
+            dt = time.perf_counter() - t_last
+            stats["ups"] = args.log_interval / dt if dt > 0 else 0.0
+            t_last = time.perf_counter()
+            progress.log(stats, tag="train", step=num_updates)
+            metrics.reset_scope("default")
+        if num_updates % args.validate_interval_updates == 0:
+            val = validate(state)
+            if val is not None:
+                progress.log({"valid_loss": val}, tag="valid",
+                             step=num_updates)
+        if args.save_dir and num_updates % args.save_interval_updates == 0:
+            save_checkpoint(args.save_dir, num_updates, state,
+                            config=to_dict(model_cfg),
+                            keep_last=args.keep_last)
+
+    def run_single(b):
+        nonlocal state
+        # ONE device_put call for the whole dict (a per-leaf tree.map is
+        # ~10 separate ~31 ms transfer RPCs through the remote tunnel)
+        b = jax.device_put(b, batch_spec(mesh, b))
+        # Tunnel RPC discipline (CLAUDE.md): the rng is a HOST int seed
+        # (inlined into the execute RPC; the key is derived inside the
+        # jitted step — an eager PRNGKey between chained donated
+        # dispatches measured 15 s/step), the update counter advances
+        # host-side (state.step increments by exactly 1 per call; an
+        # `int(state.step)` fetch measured 25 s/step), and ALL metric
+        # scalars come back in ONE device_get.
+        chunk, conv_chunk = draw_chunks()
+        state, m = step_fn(state, b, args.seed * 100003 + num_updates,
+                           chunk_size=chunk, conv_chunk_size=conv_chunk)
+        account(jax.device_get(m))
+
+    def run_block(group):
+        nonlocal state
+        stacked = jax.tree.map(lambda *xs: np.stack(xs), *group)
+        stacked = jax.device_put(stacked, batch_spec(mesh, stacked))
+        chunk, conv_chunk = draw_chunks()
+        state, ms = step_fn_k(state, stacked,
+                              args.seed * 100003 + num_updates,
+                              chunk_size=chunk, conv_chunk_size=conv_chunk)
+        ms = jax.device_get(ms)  # ONE fetch for the whole block's metrics
+        for i in range(len(group)):
+            account({k: v[i] for k, v in ms.items()})
+
+    # steps-per-call > 1: group K consecutive same-shape batches and run each
+    # group as one device-side scan dispatch; stragglers (end of epoch,
+    # max_update boundary, odd bucket shapes) fall back to single steps
+    pending = {}
+
+    def flush_pending():
+        for group in pending.values():
+            for b in group:
+                if num_updates < args.max_update:
+                    run_single(b)
+        pending.clear()
+
     while num_updates < args.max_update:
         epoch += 1
         for batch in batch_iterator(epoch):
             if num_updates >= args.max_update:
                 break
-            # multichunk randomization (`speech_to_speech_ctc_asr_st_criterion.py:149-168`)
-            if args.multichunk:
-                chunk = rng.choice([8, 16, 24, 32, 99999])
-                conv_chunk = rng.choice([8, 16])
-                chunk = min(chunk, conv_chunk) if chunk < 999 else chunk
-            else:
-                chunk, conv_chunk = args.chunk_size, min(args.chunk_size, 16)
-            n2 = args.n2 if args.n2 >= 0 else rng.randint(
-                1, 1 + int(batch["prev_output_tokens_mt"].shape[1]))
-            batch = dict(batch, n2=np.int32(n2))
-            # ONE device_put call for the whole dict (a per-leaf tree.map is
-            # ~10 separate ~31 ms transfer RPCs through the remote tunnel)
-            batch = jax.device_put(batch, batch_spec(mesh, batch))
-            # Tunnel RPC discipline (CLAUDE.md): the rng is a HOST int seed
-            # (inlined into the execute RPC; the key is derived inside the
-            # jitted step — an eager PRNGKey between chained donated
-            # dispatches measured 15 s/step), the update counter advances
-            # host-side (state.step increments by exactly 1 per call; an
-            # `int(state.step)` fetch measured 25 s/step), and ALL metric
-            # scalars come back in ONE device_get.
-            state, m = step_fn(state, batch,
-                               args.seed * 100003 + num_updates,
-                               chunk_size=chunk, conv_chunk_size=conv_chunk)
-            num_updates += 1
-            m = jax.device_get(m)
-            sample_size = float(m["sample_size"])
-            metrics.log_scalar("loss", float(m["loss_mean"]))
-            metrics.log_scalar("unit_ctc", float(m["unit_ctc_loss"]) / sample_size)
-            metrics.log_scalar("grad_norm", float(m["grad_norm"]))
-            metrics.log_scalar("overflow", float(m["overflow"]))
-            if num_updates % args.log_interval == 0:
-                stats = metrics.get_smoothed_values("default")
-                dt = time.perf_counter() - t_last
-                stats["ups"] = args.log_interval / dt if dt > 0 else 0.0
-                t_last = time.perf_counter()
-                progress.log(stats, tag="train", step=num_updates)
-                metrics.reset_scope("default")
-            if num_updates % args.validate_interval_updates == 0:
-                val = validate(state)
-                if val is not None:
-                    progress.log({"valid_loss": val}, tag="valid",
-                                 step=num_updates)
-            if args.save_dir and num_updates % args.save_interval_updates == 0:
-                save_checkpoint(args.save_dir, num_updates, state,
-                                config=to_dict(model_cfg),
-                                keep_last=args.keep_last)
+            if step_fn_k is None:
+                run_single(prep(batch))
+                continue
+            b = prep(batch)
+            sig = tuple(sorted(
+                (k, getattr(v, "shape", ())) for k, v in b.items()))
+            pending.setdefault(sig, []).append(b)
+            if len(pending[sig]) == args.steps_per_call:
+                group = pending.pop(sig)
+                if num_updates + len(group) <= args.max_update:
+                    run_block(group)
+                else:
+                    for bb in group:
+                        if num_updates < args.max_update:
+                            run_single(bb)
+        flush_pending()
     if args.save_dir:
         save_checkpoint(args.save_dir, num_updates, state,
                         config=to_dict(model_cfg), keep_last=args.keep_last)
