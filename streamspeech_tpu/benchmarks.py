@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import time
+import traceback
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -135,9 +136,15 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
 
     ``bf16=True`` (default) runs the step at the trainer's design point —
     bfloat16 COMPUTE with fp32 params/optimizer (train/trainer.py docstring;
-    the reference trains fp16, `train.simul-s2st.sh:30`). The r2 driver
-    benchmarked an fp32-compute model by mistake, which is where the
-    26 ms / 25.7%-MFU vs README 14.6 ms / 45.7% discrepancy came from.
+    the reference trains fp16, `train.simul-s2st.sh:30`).
+
+    Timing: chained donated dispatches with ONE device_get of the final
+    step's loss as the drain. NB the r2 numbers (and the README claims they
+    fed) were measured with ``block_until_ready``, which does NOT round-trip
+    through this environment's remote tunnel — those runs timed dispatch
+    rate, not execution. The post-fix bisect also found ~160 ms/step of
+    serialized scatter in the CTC gather's transpose (see
+    ops/pallas_ctc.py), since removed.
 
     MFU uses XLA's own cost analysis for the compiled step (matmul FLOPs)
     over the chip's bf16 peak; falls back to None when the backend doesn't
@@ -225,6 +232,45 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
         if flops and peak:
             out["train_mfu"] = flops / dt / peak
             out["train_step_tflops"] = flops / 1e12
+
+        # device-truth number: K steps per dispatch through the scanned block
+        # step (trainer.make_train_step_scan / cli.train --steps-per-call) —
+        # one execute RPC per K steps, so per-step time is the chip's, not
+        # the tunnel's. Costs one extra compile; skip with
+        # STREAMSPEECH_BENCH_NO_BLOCK_STEP=1.
+        if not os.environ.get("STREAMSPEECH_BENCH_NO_BLOCK_STEP"):
+            try:
+                from streamspeech_tpu.train.trainer import make_train_step_scan
+
+                k = 10
+                step_k = make_train_step_scan(
+                    model, tx, unit_blank=cfg.unit_decoder.vocab_size - 1)
+                stacked = jax.tree.map(
+                    lambda x: np.broadcast_to(np.asarray(x)[None],
+                                              (k,) + np.shape(x)).copy(), b)
+                # device-resident batch, ONE upload outside the timed loop:
+                # a real block-training loop uploads batch k+1 while block k
+                # computes, so upload is not on the critical path — keeping
+                # the ~26 MB stack out of the timed dispatches measures the
+                # chip, not the tunnel's upload bandwidth
+                stacked = jax.device_put(stacked)
+                state, ms = step_k(state, stacked, 1,
+                                   chunk_size=8, conv_chunk_size=8)
+                float(jax.device_get(ms["loss_mean"][-1]))
+                ts = []
+                for r in range(3):
+                    t0 = time.perf_counter()
+                    state, ms = step_k(state, stacked, 2 + r,
+                                       chunk_size=8, conv_chunk_size=8)
+                    float(jax.device_get(ms["loss_mean"][-1]))
+                    ts.append((time.perf_counter() - t0) / k)
+                dt_blk = min(ts)
+                out["train_step_block_ms"] = dt_blk * 1e3
+                out["train_block_steps_per_call"] = k
+                if flops and peak:
+                    out["train_mfu_block"] = flops / dt_blk / peak
+            except Exception:
+                traceback.print_exc()
         return out
     finally:
         if pallas:

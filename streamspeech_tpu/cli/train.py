@@ -148,6 +148,12 @@ def main(argv=None):
     rng = random.Random(args.seed)
     np.random.seed(args.seed)
 
+    # reuse on-disk XLA executables across training processes (TPU-only
+    # no-op elsewhere); saves the 1-4 min remote compile of the train step
+    # on every restart/resume
+    from streamspeech_tpu import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
+
     if args.synthetic:
         dicts = None
         model_cfg = tiny_config()
