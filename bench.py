@@ -44,6 +44,19 @@ def main():
     print("bench: forward...", file=sys.stderr, flush=True)
     fwd = bm.measure_forward(model, variables)
     extras.update({k: round(v, 3) for k, v in fwd.items()})
+    if not fast:
+        # earliest provisional line: the train stage below now compiles two
+        # programs (single-step + K-step block) through the slow remote
+        # helper; if the harness kills the run mid-compile the driver still
+        # parses this. Superseded by the pipeline-stage provisional and the
+        # final line.
+        print(json.dumps({
+            "metric": "s2st_forward_xrealtime",
+            "value": round(fwd["forward_xrealtime"], 3),
+            "unit": "x_realtime_10.24s_utt",
+            "vs_baseline": round(fwd["forward_xrealtime"] * 1.326, 3),
+            "extras": dict(extras),
+        }), flush=True)
 
     # Stage order: train BEFORE the streaming stages — running it after them
     # degrades the measured step ~27x (residual engine buffers/programs from
@@ -102,6 +115,8 @@ def main():
                                        else v) for k, v in ns.items()})
             except Exception:
                 traceback.print_exc()
+            finally:
+                st["engine"].close()
         except Exception:
             traceback.print_exc()
 
@@ -115,6 +130,21 @@ def main():
                            for k, v in sv.items()})
         except Exception:
             traceback.print_exc()
+    # stage-order audit (VERDICT r2 Weak #5): with every streaming/serving
+    # engine now closed after its stage, a train step measured LAST should
+    # match the train-first number within noise. Opt-in (costs a cache-hit
+    # recompile of the step): STREAMSPEECH_BENCH_ORDER_CHECK=1.
+    if not fast and os.environ.get("STREAMSPEECH_BENCH_ORDER_CHECK"):
+        try:
+            print("bench: train step (after streaming stages)...",
+                  file=sys.stderr, flush=True)
+            os.environ["STREAMSPEECH_BENCH_NO_BLOCK_STEP"] = "1"
+            tr2 = bm.measure_train_step()
+            extras["train_step_ms_after_streaming"] = round(
+                tr2["train_step_ms"], 4)
+        except Exception:
+            traceback.print_exc()
+
     baseline_xrt = 1.0 / 1.326  # reference example run: RTF 1.326 (time/audio)
     if pipeline_x is not None:
         line = {

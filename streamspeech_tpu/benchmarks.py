@@ -764,6 +764,9 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
         print(f"batched warmup wave: {t_warm:.1f}s", flush=True)
     wall = run()
     audio = batch * seconds
+    # drop the warmed programs/buffers: residual engines tax later unrelated
+    # jit executions in the same process (the bench stage-order effect)
+    engine.close()
     return {
         "serving_batch": batch,
         "serving_xrealtime": audio / wall,
@@ -824,6 +827,7 @@ def measure_bf16_drift(batch: int = 8, seconds: float = 8.0,
         ev = BatchedS2STEvaluator(engine, cfg, src_dict, src_dict, unit_dict,
                                   batch=batch, quality_metrics=[])
         scores = ev(sources, refs)
+        engine.close()
         return ev.instances, scores
 
     ins32, sc32 = run(model32)

@@ -152,6 +152,41 @@ def ctc_loss_sum(
     return jnp.sum(per_seq)
 
 
+def ctc_loss_sum_pair(
+    logits_a: jnp.ndarray, lengths_a: jnp.ndarray,
+    labels_a: jnp.ndarray, label_lengths_a: jnp.ndarray,
+    logits_b: jnp.ndarray, lengths_b: jnp.ndarray,
+    labels_b: jnp.ndarray, label_lengths_b: jnp.ndarray,
+    blank_id: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Two CTC sums over the SAME frame axis in ONE DP pass (Pallas path).
+
+    The criterion's aux heads (ASR + ST) both run T=encoder-frames with
+    blank=0; batch-concatenating their extended-state tensors halves the
+    number of sequential T-loop kernel sweeps. Per-head numerics identical
+    to two ``ctc_loss_sum`` calls (rows are independent). Off-TPU (and
+    under STREAMSPEECH_OPTAX_CTC) falls back to the separate calls.
+    """
+    import os
+
+    from streamspeech_tpu.ops.pallas_ctc import (
+        ctc_neg_log_likelihood_pallas_multi,
+        pallas_ctc_available,
+    )
+
+    if pallas_ctc_available() and not os.environ.get("STREAMSPEECH_OPTAX_CTC"):
+        nll_a, nll_b = ctc_neg_log_likelihood_pallas_multi(
+            [(logits_a, lengths_a, labels_a, label_lengths_a),
+             (logits_b, lengths_b, labels_b, label_lengths_b)], blank_id)
+        zi = lambda x: jnp.sum(  # noqa: E731  (zero_infinity=True)
+            jnp.where(jnp.isfinite(x) & (x < 1e29), x, 0.0))
+        return zi(nll_a), zi(nll_b)
+    return (ctc_loss_sum(logits_a, lengths_a, labels_a, label_lengths_a,
+                         blank_id),
+            ctc_loss_sum(logits_b, lengths_b, labels_b, label_lengths_b,
+                         blank_id))
+
+
 def ctc_greedy(logits: jnp.ndarray) -> jnp.ndarray:
     """[.., T, V] → argmax token ids [.., T] (device-side)."""
     return jnp.argmax(logits, axis=-1)

@@ -201,16 +201,9 @@ def pallas_ctc_available() -> bool:
         return False
 
 
-def ctc_neg_log_likelihood_pallas(
-    logits: jnp.ndarray,        # [B, T, V]
-    logit_lengths: jnp.ndarray, # [B]
-    labels: jnp.ndarray,        # [B, N]
-    label_lengths: jnp.ndarray, # [B]
-    blank_id: int,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Drop-in for ops.ctc.ctc_neg_log_likelihood on the Pallas path: builds
-    lp_ext + the additive masks, pads to tile boundaries, runs the kernels."""
+def _ext_and_masks(logits, logit_lengths, labels, label_lengths, blank_id):
+    """Unpadded per-head DP inputs: lp_ext [B, T, S] + the additive masks
+    ([B, S]) + frame validity [B, T]."""
     from streamspeech_tpu.ops.ctc import gather_extended_logprobs
 
     b, t, _ = logits.shape
@@ -237,26 +230,98 @@ def ctc_neg_log_likelihood_pallas(
     skipmask = jnp.where(skip, 0.0, NNEG)
     validmask = (jnp.arange(t)[None, :]
                  < logit_lengths[:, None]).astype(jnp.float32)
+    return {"lp_ext": lp_ext, "initmask": initmask, "endmask": endmask,
+            "skipmask": skipmask, "validmask": validmask}
 
+
+def _run_padded(parts, tc_cap: int, interpret: bool) -> jnp.ndarray:
+    """Pad a head's DP inputs to tile boundaries and run the kernels.
+
+    parts: dict from _ext_and_masks, possibly batch-concatenated across
+    heads (state axes pre-padded to a common S by the caller). Returns the
+    per-row nll for the REAL rows (padding rows sliced off by the caller).
+    """
+    lp_ext = parts["lp_ext"]
+    b, t, s = lp_ext.shape
     # pad to tile boundaries: B->8, S->128 lanes, T->the time-block size (the
     # in-kernel row loop is python-unrolled, so keep blocks modest)
     bp = _round_up(b, 8)
     sp = _round_up(s, 128)
-    tc = min(32, _round_up(t, 8))
+    tc = min(tc_cap, _round_up(t, 8))
     tp = _round_up(t, tc)
     lp_ext = jnp.pad(lp_ext, ((0, bp - b), (0, tp - t), (0, sp - s)),
                      constant_values=NNEG)
     valid3 = jnp.broadcast_to(
-        jnp.pad(validmask, ((0, bp - b), (0, tp - t)))[:, :, None],
+        jnp.pad(parts["validmask"], ((0, bp - b), (0, tp - t)))[:, :, None],
         (bp, tp, sp))
+    pad2 = lambda a: jnp.pad(  # noqa: E731
+        a, ((0, bp - b), (0, sp - s)),
+        constant_values=NNEG).astype(jnp.float32)
     aux = {
-        "initmask": jnp.pad(initmask, ((0, bp - b), (0, sp - s)),
-                            constant_values=NNEG).astype(jnp.float32),
-        "endmask": jnp.pad(endmask, ((0, bp - b), (0, sp - s)),
-                           constant_values=NNEG).astype(jnp.float32),
-        "skipmask": jnp.pad(skipmask, ((0, bp - b), (0, sp - s)),
-                            constant_values=NNEG).astype(jnp.float32),
+        "initmask": pad2(parts["initmask"]),
+        "endmask": pad2(parts["endmask"]),
+        "skipmask": pad2(parts["skipmask"]),
         "validmask": valid3,
     }
-    nll = ctc_nll_pallas(lp_ext, aux, tc, interpret)
-    return nll[:b]
+    return ctc_nll_pallas(lp_ext, aux, tc, interpret)
+
+
+def ctc_neg_log_likelihood_pallas(
+    logits: jnp.ndarray,        # [B, T, V]
+    logit_lengths: jnp.ndarray, # [B]
+    labels: jnp.ndarray,        # [B, N]
+    label_lengths: jnp.ndarray, # [B]
+    blank_id: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ops.ctc.ctc_neg_log_likelihood on the Pallas path: builds
+    lp_ext + the additive masks, pads to tile boundaries, runs the kernels."""
+    parts = _ext_and_masks(logits, logit_lengths, labels, label_lengths,
+                           blank_id)
+    b = logits.shape[0]
+    return _run_padded(parts, 32, interpret)[:b]
+
+
+def ctc_neg_log_likelihood_pallas_multi(
+    heads, blank_id: int, interpret: bool = False,
+):
+    """ONE DP kernel pass over several CTC heads that share the frame axis.
+
+    heads: sequence of (logits [B, T, Vh], logit_lengths, labels [B, Nh],
+    label_lengths). The per-head extended-state tensors are padded to a
+    common S and concatenated along batch, so the sequential T-loop — whose
+    per-iteration vector work is tiny and launch/loop overhead dominated —
+    runs ONCE over sum(B) rows instead of once per head. Numerics per head
+    are identical to separate calls (rows are independent; padded states
+    carry NNEG). Used by the criterion to fuse the ASR + ST aux CTCs
+    (same encoder frames, blank=0,
+    `researches/ctc_unity/criterions/speech_to_speech_ctc_asr_st_criterion.py:70-232`).
+
+    Returns a list of per-sequence nll arrays, one per head.
+    """
+    parts = [_ext_and_masks(lo, ll, la, ln, blank_id)
+             for (lo, ll, la, ln) in heads]
+    t = parts[0]["lp_ext"].shape[1]
+    for p in parts[1:]:
+        if p["lp_ext"].shape[1] != t:
+            raise ValueError("multi-head CTC requires a shared frame axis")
+    s_common = max(p["lp_ext"].shape[2] for p in parts)
+
+    def pad_s(a, axis):
+        pad = [(0, 0)] * a.ndim
+        pad[axis] = (0, s_common - a.shape[axis])
+        return jnp.pad(a, pad, constant_values=NNEG)
+
+    merged = {
+        "lp_ext": jnp.concatenate([pad_s(p["lp_ext"], 2) for p in parts], 0),
+        "initmask": jnp.concatenate([pad_s(p["initmask"], 1) for p in parts], 0),
+        "endmask": jnp.concatenate([pad_s(p["endmask"], 1) for p in parts], 0),
+        "skipmask": jnp.concatenate([pad_s(p["skipmask"], 1) for p in parts], 0),
+        "validmask": jnp.concatenate([p["validmask"] for p in parts], 0),
+    }
+    nll = _run_padded(merged, 32, interpret)
+    out, off = [], 0
+    for (lo, _, _, _) in heads:
+        out.append(nll[off:off + lo.shape[0]])
+        off += lo.shape[0]
+    return out

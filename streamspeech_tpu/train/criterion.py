@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional
 import jax
 import jax.numpy as jnp
 
-from streamspeech_tpu.ops.ctc import ctc_loss_sum
+from streamspeech_tpu.ops.ctc import ctc_loss_sum, ctc_loss_sum_pair
 
 
 def label_smoothed_nll(
@@ -66,9 +66,12 @@ def streamspeech_loss(
     up_valid = jnp.repeat(out["mt_valid"],
                           unit_logits.shape[1] // out["mt_valid"].shape[1], axis=1)
     unit_input_lengths = jnp.sum(up_valid, axis=-1)
+    # NB: ctc_loss_sum applies log_softmax internally (all three backends —
+    # scan, Pallas, optax — take raw logits); passing logits straight through
+    # avoids a duplicated [B, T, V] log_softmax fwd+bwd per head (idempotent,
+    # so numerics are unchanged)
     unit_loss = ctc_loss_sum(
-        jax.nn.log_softmax(unit_logits.astype(jnp.float32), -1),
-        unit_input_lengths, batch["target_units"],
+        unit_logits, unit_input_lengths, batch["target_units"],
         batch["target_unit_lengths"], blank_id=unit_blank)
 
     # first-pass MT CE (label-smoothed)
@@ -78,12 +81,13 @@ def streamspeech_loss(
 
     # aux CTC heads over encoder frames (blank = 0)
     enc_lengths = out["encoder_lengths"]
-    asr_loss = ctc_loss_sum(
-        jax.nn.log_softmax(out["asr_logits"].astype(jnp.float32), -1),
-        enc_lengths, batch["src_text"], batch["src_text_lengths"], blank_id=0)
-    st_loss = ctc_loss_sum(
-        jax.nn.log_softmax(out["st_logits"].astype(jnp.float32), -1),
-        enc_lengths, batch["tgt_text"], batch["tgt_text_lengths"], blank_id=0)
+    # fused on the Pallas path: one DP kernel sweep over both heads (they
+    # share the encoder frame axis and blank=0)
+    asr_loss, st_loss = ctc_loss_sum_pair(
+        out["asr_logits"], enc_lengths, batch["src_text"],
+        batch["src_text_lengths"],
+        out["st_logits"], enc_lengths, batch["tgt_text"],
+        batch["tgt_text_lengths"], blank_id=0)
 
     total = (unit_loss
              + weights.target_unigram * ce["loss"]

@@ -88,6 +88,62 @@ def test_pallas_impossible_alignment_zero_grad():
     np.testing.assert_allclose(np.asarray(g), 0.0, atol=0.0)
 
 
+def test_pallas_multi_head_matches_separate():
+    """Batch-concatenated two-head DP (the criterion's fused ASR+ST aux
+    CTCs) must match per-head separate calls — values AND grads — with
+    different vocab/label sizes per head and a shared frame axis."""
+    from streamspeech_tpu.ops.pallas_ctc import (
+        ctc_neg_log_likelihood_pallas_multi,
+    )
+
+    a = random_case(21, b=3, t=20, v=9, n=7, blank=0)
+    bcase = random_case(22, b=3, t=20, v=5, n=3, blank=0)
+
+    def heads(lg_a, lg_b):
+        return [(lg_a, jnp.asarray(a[1]), jnp.asarray(a[2]),
+                 jnp.asarray(a[3])),
+                (lg_b, jnp.asarray(bcase[1]), jnp.asarray(bcase[2]),
+                 jnp.asarray(bcase[3]))]
+
+    def merged(lg_a, lg_b):
+        na, nb = ctc_neg_log_likelihood_pallas_multi(
+            heads(lg_a, lg_b), blank_id=0, interpret=True)
+        return jnp.sum(na) + 2.0 * jnp.sum(nb)
+
+    def separate(lg_a, lg_b):
+        na = ctc_neg_log_likelihood_pallas(
+            lg_a, jnp.asarray(a[1]), jnp.asarray(a[2]), jnp.asarray(a[3]),
+            0, interpret=True)
+        nb = ctc_neg_log_likelihood_pallas(
+            lg_b, jnp.asarray(bcase[1]), jnp.asarray(bcase[2]),
+            jnp.asarray(bcase[3]), 0, interpret=True)
+        return jnp.sum(na) + 2.0 * jnp.sum(nb)
+
+    lg_a, lg_b = jnp.asarray(a[0]), jnp.asarray(bcase[0])
+    v_m, (ga_m, gb_m) = jax.value_and_grad(merged, argnums=(0, 1))(lg_a, lg_b)
+    v_s, (ga_s, gb_s) = jax.value_and_grad(separate, argnums=(0, 1))(lg_a,
+                                                                     lg_b)
+    np.testing.assert_allclose(float(v_m), float(v_s), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ga_m), np.asarray(ga_s),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(gb_m), np.asarray(gb_s),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_pallas_multi_head_rejects_mismatched_frames():
+    from streamspeech_tpu.ops.pallas_ctc import (
+        ctc_neg_log_likelihood_pallas_multi,
+    )
+
+    a = random_case(30, b=2, t=16, v=5, n=3, blank=0)
+    bcase = random_case(31, b=2, t=24, v=5, n=3, blank=0)
+    with pytest.raises(ValueError):
+        ctc_neg_log_likelihood_pallas_multi(
+            [tuple(map(jnp.asarray, a[:-1])),
+             tuple(map(jnp.asarray, bcase[:-1]))], blank_id=0,
+            interpret=True)
+
+
 def test_pallas_grad_matches_torch_occupancy():
     torch = pytest.importorskip("torch")
     import torch.nn.functional as F
