@@ -73,6 +73,8 @@ class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
         tgt_dict: Dictionary,
         gcmvn: Optional[GlobalCMVN] = None,
         batch: int = 8,
+        mesh=None,
+        mesh_axis: str = "data",
         **evaluator_kwargs,
     ):
         shim = SimpleNamespace(target_type=self.target_type)
@@ -85,6 +87,10 @@ class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
         self.tgt_dict = tgt_dict
         self.gcmvn = gcmvn
         self.batch = batch
+        # optional scale-out: shard the stream batch over a device mesh
+        # (runtime/batched.py _shard_over_mesh) — serving data parallelism
+        self.mesh = mesh
+        self.mesh_axis = mesh_axis
 
     # ------------------------------------------------------------------
 
@@ -119,7 +125,11 @@ class _BatchedStreamingEvaluator(SentenceLevelEvaluator):
     def _run_wave(self, instances: List[Instance]) -> None:
         cfg = self.agent_cfg
         b = len(instances)
-        bs = BatchedStreamingSession(self.engine, b)
+        mesh = self.mesh
+        if mesh is not None and b % mesh.shape[self.mesh_axis]:
+            mesh = None   # ragged final wave: run it unsharded
+        bs = BatchedStreamingSession(self.engine, b, mesh=mesh,
+                                     mesh_axis=self.mesh_axis)
         st = [_StreamState() for _ in range(b)]
 
         while True:

@@ -40,9 +40,20 @@ from streamspeech_tpu.runtime.session import EOS, PAD, StreamSpeechEngine, _buck
 
 
 class BatchedStreamingSession:
-    """B lockstep streaming sessions sharing every device call."""
+    """B lockstep streaming sessions sharing every device call.
 
-    def __init__(self, engine: StreamSpeechEngine, batch: int):
+    ``mesh``: optional `jax.sharding.Mesh` — shards the stream batch over
+    ``mesh_axis`` so one lockstep tick SPMD-partitions across chips (each
+    device advances B/n streams; the tick is batch-parallel so XLA inserts no
+    collectives). This is the serving analogue of data-parallel training: the
+    reference serves one utterance per single-GPU agent process
+    (`agent/speech_to_speech.streamspeech.agent.py`), while here one logical
+    session scales over an ICI-connected slice. Numerics are identical to the
+    unsharded session (tests/test_mesh_serving.py).
+    """
+
+    def __init__(self, engine: StreamSpeechEngine, batch: int,
+                 mesh=None, mesh_axis: str = "data"):
         self.e = engine
         self.batch = batch
         model, v = engine.model, engine.variables
@@ -68,6 +79,32 @@ class BatchedStreamingSession:
                         for _ in range(batch)]
         self.finished_input = np.zeros((batch,), bool)
         self.tail_done = np.zeros((batch,), bool)
+        if mesh is not None:
+            self._shard_over_mesh(mesh, mesh_axis)
+
+    def _shard_over_mesh(self, mesh, axis: str) -> None:
+        """Commit the per-stream device state with the batch dim sharded over
+        ``axis`` (params stay replicated — the engine's jit programs then
+        compile as SPMD over the mesh via sharding propagation)."""
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        n = mesh.shape[axis]
+        if self.batch % n:
+            raise ValueError(
+                f"batch {self.batch} not divisible by mesh axis "
+                f"'{axis}' size {n}")
+
+        def leaf(x):
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.batch:
+                spec = PartitionSpec(axis, *([None] * (x.ndim - 1)))
+            else:
+                spec = PartitionSpec()   # scalars (pos, shared KV index)
+            return jax.device_put(x, NamedSharding(mesh, spec))
+
+        self.enc_state = jax.tree.map(leaf, self.enc_state)
+        self.enc_buf = leaf(self.enc_buf)
+        self.mt_self = jax.tree.map(leaf, self.mt_self)
+        self.mt_cross = jax.tree.map(leaf, self.mt_cross)
 
     # ------------------------------------------------------------------
     # encoder side (lockstep block clock)
