@@ -25,6 +25,10 @@ def main():
     ap.add_argument("--batch", type=int, nargs="+", default=[4, 8, 16])
     ap.add_argument("--seconds", type=float, default=8.0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="shard the stream batch over N local devices "
+                         "(serving data parallelism, runtime/batched.py "
+                         "_shard_over_mesh); batch must divide by N")
     ap.add_argument("--bf16", action="store_true",
                     help="bf16 compute dtype (fp32 params); ~2x MXU "
                          "throughput, near-tie argmax may flip")
@@ -54,7 +58,9 @@ def main():
     model, variables = bm.build_full_model(dtype=dtype)
     for b in args.batch:
         r = bm.measure_batched_throughput(model, variables, batch=b,
-                                          seconds=args.seconds, verbose=True)
+                                          seconds=args.seconds,
+                                          mesh_devices=args.mesh,
+                                          verbose=True)
         r["per_stream_realtime"] = round(
             r["serving_xrealtime"] / b, 3)
         print(json.dumps({k: (round(v, 3) if isinstance(v, float) else v)

@@ -712,6 +712,7 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
                                mt_buckets: Tuple[int, ...] = (64,),
                                unit_buckets: Tuple[int, ...] = (256,),
                                max_enc_frames: int = 512,
+                               mesh_devices: int = 0,
                                verbose: bool = False) -> Dict[str, float]:
     """Aggregate serving throughput: `batch` concurrent streams through the
     wave-batched evaluator (eval/batched_evaluator.py — per-instance numerics
@@ -752,9 +753,18 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
     sources = [list(rng.uniform(-0.3, 0.3, n_samples)) for _ in range(batch)]
     refs = ["ref"] * batch
 
+    mesh = None
+    if mesh_devices:
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        assert len(devs) >= mesh_devices, \
+            f"--mesh {mesh_devices} but only {len(devs)} devices"
+        mesh = Mesh(np.array(devs[:mesh_devices]), ("data",))
+
     def run() -> float:
         ev = BatchedS2STEvaluator(engine, cfg, src_dict, src_dict, unit_dict,
-                                  batch=batch, quality_metrics=[])
+                                  batch=batch, mesh=mesh, quality_metrics=[])
         t0 = time.perf_counter()
         ev(sources, refs)
         return time.perf_counter() - t0
@@ -767,11 +777,14 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
     # drop the warmed programs/buffers: residual engines tax later unrelated
     # jit executions in the same process (the bench stage-order effect)
     engine.close()
-    return {
+    out = {
         "serving_batch": batch,
         "serving_xrealtime": audio / wall,
         "serving_tick_ms": wall / (seconds * 1000 / segment_ms) * 1e3,
     }
+    if mesh_devices:
+        out["serving_mesh_devices"] = mesh_devices
+    return out
 
 
 def measure_bf16_drift(batch: int = 8, seconds: float = 8.0,
