@@ -63,3 +63,33 @@ def test_base_layer_forward_and_grads():
 
     g = jax.grad(loss)(variables["params"])
     assert np.isfinite(float(jnp.linalg.norm(g["w1"])))
+
+
+def test_base_layer_expert_parallel_mesh():
+    """True EP: expert-stacked FFN params sharded over a `model` mesh axis,
+    tokens sharded over `data` — the dispatch/combine einsums compile as SPMD
+    with XLA-inserted collectives (the reference needs NCCL all_to_all +
+    expert-param DDP exclusion for this, `fairseq_cli/train.py:104-123`).
+    Outputs must match the unsharded layer."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 8:
+        import pytest
+        pytest.skip("needs 8 devices")
+    mesh = Mesh(np.array(devs[:8]).reshape(2, 4), ("data", "model"))
+
+    layer = BASELayer(embed_dim=16, ffn_dim=32, num_experts=4)
+    x = jnp.asarray(np.random.RandomState(1).randn(4, 8, 16), jnp.float32)
+    variables = layer.init(jax.random.PRNGKey(0), x)
+    y_ref = np.asarray(jax.jit(layer.apply)(variables, x))
+
+    spec = {"router": P(), "w1": P("model", None, None),
+            "b1": P("model", None), "w2": P("model", None, None),
+            "b2": P("model", None)}
+    sharded = {"params": {
+        k: jax.device_put(v, NamedSharding(mesh, spec[k]))
+        for k, v in variables["params"].items()}}
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None, None)))
+    y = np.asarray(jax.jit(layer.apply)(sharded, x_sh))
+    np.testing.assert_allclose(y, y_ref, rtol=2e-4, atol=2e-5)
