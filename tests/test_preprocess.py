@@ -112,3 +112,42 @@ def test_spm_train_cli(tmp_path):
     from streamspeech_tpu.tokenizer import SentencePieceUnigram
     spm = SentencePieceUnigram.load(str(tmp_path / "spm_unigram_16.model"))
     assert spm.decode_pieces(spm.encode_as_pieces("ab ba")) == "ab ba"
+
+
+def test_kmeans_quantize_matches_released_km1000(tmp_path):
+    """Released-artifact numerics: the ACTUAL mHuBERT km1000 layer-11
+    quantizer shipped with the reference (`preprocess_scripts/
+    mhubert.km1000.layer11.pt`, sklearn MiniBatchKMeans 1000x768) quantized
+    through our JAX nearest-centroid path must reproduce sklearn's own
+    `predict` on the same features (`quantize_with_kmeans.py` semantics)."""
+    import os
+
+    import pytest
+
+    path = "/root/reference/preprocess_scripts/mhubert.km1000.layer11.pt"
+    if not os.path.exists(path):
+        pytest.skip("released km1000 quantizer not available")
+    import warnings
+
+    import joblib
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        km = joblib.load(path)
+    assert km.cluster_centers_.shape == (1000, 768)
+
+    rng = np.random.RandomState(0)
+    # features in the centroid neighborhood so argmin is non-degenerate
+    base = km.cluster_centers_[rng.randint(0, 1000, size=200)]
+    feats = (base + rng.randn(200, 768) * base.std() * 0.5).astype(np.float32)
+    np.save(tmp_path / "f0.npy", feats)
+    (tmp_path / "feat_list.txt").write_text(str(tmp_path / "f0.npy"))
+
+    pp_main(["kmeans-quantize", "--feature-list", str(tmp_path / "feat_list.txt"),
+             "--centroids", path, "--output", str(tmp_path / "units.txt")])
+    ours = np.asarray(
+        (tmp_path / "units.txt").read_text().split(), np.int64)
+    ref = km.predict(feats.astype(km.cluster_centers_.dtype))
+    assert ours.shape == ref.shape
+    # identical up to exact distance ties (none expected at fp32 scale)
+    assert (ours == ref).mean() > 0.999, (ours != ref).sum()
