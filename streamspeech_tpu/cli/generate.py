@@ -39,12 +39,14 @@ def load_model(args):
         model = StreamSpeechModel(cfg)
         return model, variables, cfg
     elif args.checkpoint:
-        from streamspeech_tpu.train.checkpoint import load_checkpoint
+        from streamspeech_tpu.train.checkpoint import load_model_ensemble
 
-        restored = load_checkpoint(args.checkpoint)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored.get("batch_stats", {})}
-        cfg_path = Path(args.checkpoint).parent / "config.json"
+        # comma-separated paths = ensemble decoding (fairseq-generate --path
+        # a.pt:b.pt, `fairseq/fairseq/checkpoint_utils.py:288`)
+        paths = [p for p in args.checkpoint.split(",") if p]
+        members = load_model_ensemble(paths)
+        variables = members if len(members) > 1 else members[0]
+        cfg_path = Path(paths[0]).parent / "config.json"
         if cfg_path.exists():
             raw = json.loads(cfg_path.read_text())
             cfg = StreamSpeechConfig.simul_s2st()
@@ -83,8 +85,14 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     model, variables, cfg = load_model(args)
-    gen = OfflineGenerator(model, variables, beam=args.beam,
-                           max_len=args.max_len, len_penalty=args.lenpen)
+    if isinstance(variables, list):
+        from streamspeech_tpu.generation import EnsembleGenerator
+
+        gen = EnsembleGenerator(model, variables, beam=args.beam,
+                                max_len=args.max_len, len_penalty=args.lenpen)
+    else:
+        gen = OfflineGenerator(model, variables, beam=args.beam,
+                               max_len=args.max_len, len_penalty=args.lenpen)
     src_dict = Dictionary.load(args.src_dict) if args.src_dict else None
     tgt_dict = Dictionary.load(args.tgt_dict) if args.tgt_dict else None
 

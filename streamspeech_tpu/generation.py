@@ -14,6 +14,7 @@ unit pass is a single full-sequence forward (it is non-autoregressive).
 from __future__ import annotations
 
 import functools
+import math
 from dataclasses import dataclass
 from typing import Dict, List, Optional
 
@@ -71,7 +72,22 @@ class OfflineGenerator:
         self.len_penalty = len_penalty
         self.max_enc_frames = max_enc_frames
         self.no_repeat_ngram_size = no_repeat_ngram_size
-        c = model.cfg
+        self._build_programs()
+
+    # -- override points (EnsembleGenerator vmaps these over a member axis) --
+
+    def _make_caches(self, batch: int, length: int, h: int, dh: int,
+                     layers: int) -> List[KVCache]:
+        return [KVCache.create(batch, length, h, dh) for _ in range(layers)]
+
+    def _repeat_beam(self, enc: jnp.ndarray, beam: int) -> jnp.ndarray:
+        return jnp.repeat(enc, beam, axis=0)
+
+    def _reorder(self, cache: KVCache, order: jnp.ndarray) -> KVCache:
+        return _gather_cache(cache, order)
+
+    def _build_programs(self):
+        model = self.model
 
         @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"))
         def encode(variables, src, src_len, chunk, conv_chunk):
@@ -118,11 +134,10 @@ class OfflineGenerator:
         beam = self.beam
         c = self.model.cfg.mt_decoder
         h, dh = c.attention_heads, c.embed_dim // c.attention_heads
-        t_enc = enc.shape[1]
-        self_c = [KVCache.create(beam, self.max_len + 2, h, dh)
-                  for _ in range(c.layers)]
-        cross = [KVCache.create(beam, t_enc, h, dh) for _ in range(c.layers)]
-        enc_beam = jnp.repeat(enc, beam, axis=0)
+        t_enc = enc.shape[-2]
+        self_c = self._make_caches(beam, self.max_len + 2, h, dh, c.layers)
+        cross = self._make_caches(beam, t_enc, h, dh, c.layers)
+        enc_beam = self._repeat_beam(enc, beam)
         cross = self._fill_cross(self.variables, enc_beam, cross)
         # enc rows beyond enc_len are padding: truncate the cache index so the
         # attention's key-validity mask hides them (KVCache.truncate).
@@ -171,7 +186,7 @@ class OfflineGenerator:
                 new_order.append(0)
                 new_hyps.append([])
             order = jnp.asarray(new_order, jnp.int32)
-            self_c = [_gather_cache(kv, order) for kv in self_c]
+            self_c = [self._reorder(kv, order) for kv in self_c]
             tokens = np.asarray(new_tokens, np.int32)[:, None]
             scores = np.asarray(new_scores, np.float64)
             alive = np.isfinite(scores)
@@ -294,3 +309,127 @@ class OfflineGenerator:
             "mt_score": hyps[0].score,
             "units": units,
         }
+
+
+def stack_variables(variables_list: List[Dict]) -> Dict:
+    """Stack N same-architecture variable pytrees on a new leading member
+    axis. Raises on structure mismatch (members must share one arch, the
+    same contract as fairseq's load_model_ensemble)."""
+    clean = [{"params": v["params"],
+              "batch_stats": v.get("batch_stats", {})} for v in variables_list]
+    ref = jax.tree.structure(clean[0])
+    for i, v in enumerate(clean[1:], 1):
+        if jax.tree.structure(v) != ref:
+            raise ValueError(f"ensemble member {i} has a different parameter "
+                             "structure than member 0")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *clean)
+
+
+class EnsembleGenerator(OfflineGenerator):
+    """N-checkpoint ensemble decoding.
+
+    Reference semantics: fairseq's EnsembleModel
+    (`fairseq/fairseq/sequence_generator.py:744-850` forward_decoder /
+    `checkpoint_utils.py:288` load_model_ensemble): every member runs its own
+    encoder and per-step decoder log-probs; members combine in PROBABILITY
+    space — logsumexp over members minus log(N). The CTC heads (ASR/ST aux
+    and the NAR unit decoder) average the same way before argmax.
+
+    TPU design: the reference loops N torch modules per step; here member
+    params are STACKED on a leading axis and every program is `jax.vmap`ed
+    over it, so ONE jitted dispatch computes all N members (the member loop
+    becomes a batched matmul on the MXU). KV caches carry the member axis
+    ([N, beam, T, H, Dh]); beam reordering gathers along axis 1.
+    """
+
+    def __init__(self, model: StreamSpeechModel, variables_list: List[Dict],
+                 **kw):
+        if not variables_list:
+            raise ValueError("ensemble needs at least one member")
+        self.n_models = len(variables_list)
+        super().__init__(model, stack_variables(variables_list), **kw)
+
+    # -- hooks: caches/enc carry a leading member axis ---------------------
+
+    def _make_caches(self, batch, length, h, dh, layers):
+        base = [KVCache.create(batch, length, h, dh) for _ in range(layers)]
+        return [jax.tree.map(lambda *xs: jnp.stack(xs), *([kv] * self.n_models))
+                for kv in base]
+
+    def _repeat_beam(self, enc, beam):
+        return jnp.repeat(enc, beam, axis=1)  # enc [N, 1, T, C] -> [N, beam, T, C]
+
+    def _reorder(self, cache, order):
+        import dataclasses
+
+        return dataclasses.replace(cache, k=cache.k[:, order],
+                                   v=cache.v[:, order])
+
+    def _build_programs(self):
+        model = self.model
+        log_n = math.log(float(self.n_models))
+
+        @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"))
+        def encode(variables, src, src_len, chunk, conv_chunk):
+            def enc_one(v):
+                enc, lens = model.apply(v, src, src_len, chunk, conv_chunk,
+                                        method=StreamSpeechModel.encode)
+                asr = jax.nn.log_softmax(model.apply(
+                    v, enc, method=lambda m, e: m.source_unigram_head(e)
+                ).astype(jnp.float32))
+                st = jax.nn.log_softmax(model.apply(
+                    v, enc, method=lambda m, e: m.ctc_target_unigram_head(e)
+                ).astype(jnp.float32))
+                return enc, lens, asr, st
+
+            enc, lens, asr, st = jax.vmap(enc_one)(variables)
+            # enc lengths depend only on src_len (static downsampling) —
+            # identical across members; CTC heads average member probs
+            asr_ids = jnp.argmax(jax.nn.logsumexp(asr, axis=0), axis=-1)
+            st_ids = jnp.argmax(jax.nn.logsumexp(st, axis=0), axis=-1)
+            return enc, lens[0], asr_ids, st_ids
+
+        self._encode = encode
+
+        @jax.jit
+        def fill_cross(variables, enc, cross):
+            return jax.vmap(lambda v, e, cc: model.apply(
+                v, e, cc, method=StreamSpeechModel.mt_fill_cross)
+            )(variables, enc, cross)
+
+        self._fill_cross = fill_cross
+
+        @jax.jit
+        def mt_step_logits(variables, tokens, offset, self_c, cross_c):
+            def step_one(v, sc, cc):
+                logits, _, sc = model.apply(
+                    v, tokens, offset, sc, cc,
+                    method=StreamSpeechModel.mt_decoder_step)
+                return jax.nn.log_softmax(
+                    logits[:, -1].astype(jnp.float32)), sc
+
+            lp, self_c = jax.vmap(step_one)(variables, self_c, cross_c)
+            return jax.nn.logsumexp(lp, axis=0) - log_n, self_c
+
+        self._mt_step = mt_step_logits
+
+        @jax.jit
+        def synthesize(variables, mt_tokens, enc_buf, enc_len):
+            def syn_one(v, e):
+                _, logits = model.apply(v, mt_tokens, e, enc_len,
+                                        method=StreamSpeechModel.synthesize_units)
+                return jax.nn.log_softmax(logits.astype(jnp.float32))
+
+            lp = jax.vmap(syn_one)(variables, enc_buf)
+            return jnp.argmax(jax.nn.logsumexp(lp, axis=0), axis=-1)
+
+        self._synthesize = synthesize
+
+    def generate_batch_greedy(self, feats_list, chunk_size=None,
+                              conv_chunk_size=None, max_tokens: int = 64):
+        """The batched greedy path argmaxes INSIDE a scanned model method, so
+        member probs cannot be averaged post hoc — ensemble decoding runs the
+        per-utterance beam path instead (fairseq-generate with an ensemble
+        pays the same N-model cost per step)."""
+        return [self.generate(f, chunk_size, conv_chunk_size)
+                for f in feats_list]

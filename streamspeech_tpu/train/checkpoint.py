@@ -66,6 +66,20 @@ def latest_checkpoint(save_dir: str) -> Optional[str]:
     return str(ckpts[-1]) if ckpts else None
 
 
+def load_model_ensemble(paths) -> list:
+    """Load N native checkpoints as ensemble members — the fairseq
+    `load_model_ensemble` equivalent (`fairseq/fairseq/checkpoint_utils.py:288`
+    loads N .pt files into N modules for EnsembleModel). Returns a list of
+    `{"params", "batch_stats"}` dicts for `generation.EnsembleGenerator`,
+    which stacks them on a member axis (structure mismatch raises there)."""
+    out = []
+    for p in paths:
+        r = load_checkpoint(str(p))
+        out.append({"params": r["params"],
+                    "batch_stats": r.get("batch_stats", {})})
+    return out
+
+
 def load_checkpoint(path: str, target=None) -> Dict[str, Any]:
     import jax
     import orbax.checkpoint as ocp
