@@ -65,6 +65,13 @@ class DecoderConfig:
     no_scale_embedding: bool = False
     layernorm_embedding: bool = False
     vocab_size: int = 0  # filled from dictionary
+    # BASE expert layers interleaved into the stack (reference: fairseq
+    # builds one BaseLayer per `args.base_layers` at position
+    # ((i+1)*decoder_layers)//(base_layers+1), `transformer_decoder.py` /
+    # `base_layer.py:14`; expert count = data-parallel world size there,
+    # an explicit knob here)
+    base_layers: int = 0
+    base_num_experts: int = 8
 
 
 @dataclass

@@ -49,8 +49,15 @@ class BASELayer(nn.Module):
 
         tokens = x.reshape(b * t, c)
         scores = tokens @ w_router.astype(x.dtype)               # [N, E]
-        balanced = sinkhorn_routing(scores, self.sinkhorn_iterations)
-        expert_of = jnp.argmax(balanced, axis=-1)                # [N]
+        if deterministic:
+            # inference routes each token greedily to its top expert — the
+            # reference's eval mode (`base_layer.py:50-54` greedy_assignment
+            # when not training). Per-token routing keeps incremental decode
+            # identical to the offline forward (streaming exactness).
+            expert_of = jnp.argmax(scores, axis=-1)              # [N]
+        else:
+            balanced = sinkhorn_routing(scores, self.sinkhorn_iterations)
+            expert_of = jnp.argmax(balanced, axis=-1)            # [N]
         route = jax.nn.one_hot(expert_of, e, dtype=x.dtype)      # [N, E]
         # gate value = router prob of the chosen expert (straight-through style)
         gate = jnp.sum(jax.nn.softmax(scores, axis=-1) * route, axis=-1,

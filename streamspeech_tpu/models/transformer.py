@@ -479,6 +479,29 @@ class TransformerDecoder(nn.Module):
         self.final_layer_norm = (LayerNorm(dtype=self.dtype, name="layer_norm")
                                  if c.normalize_before else None)
         self.dropout_module = nn.Dropout(c.dropout)
+        # BASE expert layers interleaved at the reference's insertion points
+        # (fairseq inserts BaseLayer at ((i+1)*decoder_layers)//(base_layers+1)
+        # into the layer list when args.base_layers > 0): base layer i runs
+        # after the first `pos` transformer layers.
+        if getattr(c, "base_layers", 0):
+            from streamspeech_tpu.models.moe import BASELayer
+
+            self.base_positions = [((i + 1) * c.layers) // (c.base_layers + 1)
+                                   for i in range(c.base_layers)]
+            self.base_layer_mods = [
+                BASELayer(embed_dim=c.embed_dim, ffn_dim=c.ffn_embed_dim,
+                          num_experts=c.base_num_experts, dtype=self.dtype,
+                          name=f"base_layers_{i}")
+                for i in range(c.base_layers)]
+        else:
+            self.base_positions = []
+            self.base_layer_mods = []
+
+    def _apply_base(self, x, after_n_layers: int, deterministic: bool):
+        for pos, mod in zip(self.base_positions, self.base_layer_mods):
+            if pos == after_n_layers:
+                x = mod(x, deterministic=deterministic)
+        return x
 
     def embed(self, tokens, positions):
         x = self.embed_scale * jnp.take(self.embed_tokens, tokens, axis=0)
@@ -502,9 +525,11 @@ class TransformerDecoder(nn.Module):
         x = self.dropout_module(x, deterministic=deterministic)
         allowed_self = causal_allowed(s)
         self_valid = prev_output_tokens != PAD
-        for layer in self.layers:
+        x = self._apply_base(x, 0, deterministic)
+        for j, layer in enumerate(self.layers):
             x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
                          enc_valid, deterministic)
+            x = self._apply_base(x, j + 1, deterministic)
         if self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
         return x
@@ -529,10 +554,15 @@ class TransformerDecoder(nn.Module):
         positions = PAD + 1 + off + jnp.arange(s, dtype=jnp.int32)[None]
         x = self.embed(tokens_new, jnp.broadcast_to(positions, (b, s)))
         new_self = []
-        for layer, sc, cc in zip(self.layers, self_caches, cross_caches):
+        x = self._apply_base(x, 0, True)
+        for j, (layer, sc, cc) in enumerate(zip(self.layers, self_caches,
+                                                cross_caches)):
             x, sc = layer(x, None, None, allowed_cross, None, cross_valid,
                           True, sc, cc)
             new_self.append(sc)
+            # greedy per-token routing at inference keeps the incremental
+            # step identical to the offline forward (streaming exactness)
+            x = self._apply_base(x, j + 1, True)
         if self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
         return self.output_layer(x), x, new_self

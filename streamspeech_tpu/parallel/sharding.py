@@ -40,6 +40,16 @@ def _spec_for(path: tuple, shape: tuple, mesh: Mesh, fsdp: bool, tp: bool) -> P:
     dp_size = mesh.shape.get("data", 1)
     spec = [None] * len(shape)
 
+    # EP: BASE-layer expert-stacked params [E, ...] shard the expert dim over
+    # ``model`` (the reference pins one expert per DDP worker and excludes
+    # expert params from grad sync, `fairseq_cli/train.py:104-123` +
+    # `base_layer.py:30-32`; here XLA partitions the dispatch/combine einsums
+    # into the equivalent all_to_all). The router stays replicated.
+    if tp_size > 1 and any(n.startswith("base_layers_") for n in names) \
+            and names[-1] in ("w1", "b1", "w2", "b2") \
+            and shape[0] % tp_size == 0:
+        spec[0] = "model"
+
     if tp and tp_size > 1 and len(shape) >= 2 and "kernel" in names[-1]:
         owner = names[-2] if len(names) >= 2 else ""
         if any(owner.startswith(m) for m in _COL_PARALLEL):
