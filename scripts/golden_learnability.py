@@ -1,0 +1,71 @@
+"""Flagship learnability golden (VERDICT r3 item #5): train the real
+StreamSpeech model on the deterministic toy S2ST task through cli.train,
+decode through cli.generate, and record quality vs the untrained model —
+the local analogue of the reference's golden example run
+(`/root/reference/README.md:140-210`).
+
+Usage: python scripts/golden_learnability.py [--max-update 300]
+           [--workdir /tmp/golden_learn] [--write-doc]
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--max-update", type=int, default=300)
+    ap.add_argument("--n-train", type=int, default=300)
+    ap.add_argument("--n-dev", type=int, default=24)
+    ap.add_argument("--workdir", default="/tmp/golden_learn")
+    ap.add_argument("--write-doc", action="store_true",
+                    help="write docs/golden_learnability.md")
+    args = ap.parse_args()
+
+    from streamspeech_tpu.data.toy_task import run_learnability_golden
+
+    t0 = time.perf_counter()
+    res = run_learnability_golden(args.workdir, max_update=args.max_update,
+                                  n_train=args.n_train, n_dev=args.n_dev,
+                                  verbose=True)
+    res["max_update"] = args.max_update
+    res["wall_s"] = round(time.perf_counter() - t0, 1)
+    print(json.dumps(res))
+
+    if args.write_doc:
+        doc = Path(__file__).resolve().parents[1] / "docs" / \
+            "golden_learnability.md"
+        doc.parent.mkdir(exist_ok=True)
+        u, t = res["untrained"], res["trained"]
+        doc.write_text(f"""# Flagship learnability golden
+
+End-to-end proof that the training stack produces *correct outputs*, not just
+falling loss: the real StreamSpeech model (scaled-down dims, real criterion
+incl. streaming masks and the random-n2 draw) trained {args.max_update} steps
+through `cli.train` on the deterministic toy S2ST task
+(`data/toy_task.py`: spectral word patterns -> unit subsequences + text),
+then decoded through `cli.generate` (greedy) on {args.n_dev} held-out
+utterances. Reference analogue: the golden example run
+(`/root/reference/README.md:140-210`).
+
+Reproduce: `python scripts/golden_learnability.py --write-doc`
+({res['wall_s']} s on this box's single CPU core).
+
+| checkpoint | unit edit rate (lower better) | text token accuracy |
+|---|---|---|
+| untrained (step 0) | {u['unit_edit_rate']:.3f} | {u['text_token_acc']:.3f} |
+| trained (step {args.max_update}) | {t['unit_edit_rate']:.3f} | {t['text_token_acc']:.3f} |
+
+Gate (tests/test_learnability.py): trained unit edit rate < 0.3 AND
+< half the untrained rate; text accuracy > 0.9.
+""")
+        print(f"wrote {doc}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -252,7 +252,11 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
         # the next batch's upload with the current block's compute.
         t0 = time.perf_counter()
         b_dev = jax.device_put(b)
-        jax.device_get(jax.tree.leaves(b_dev)[0].ravel()[0])
+        # drain with a device_get of an existing SMALL leaf — an eager
+        # `.ravel()[0]` here compiles reshape+gather programs through the
+        # slow remote helper and was charged to "upload" (209 s in one run)
+        small = min(jax.tree.leaves(b_dev), key=lambda x: x.size)
+        jax.device_get(small)
         upload_s = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -79,10 +79,14 @@ def main(argv=None):
                    help="batched greedy decoding (beam must be 1)")
     p.add_argument("--max-len", type=int, default=200)
     p.add_argument("--lenpen", type=float, default=1.0)
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU backend (before backend init)")
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--vocoder", type=str, default=None)
     p.add_argument("--vocoder-cfg", type=str, default=None)
     args = p.parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     model, variables, cfg = load_model(args)
     if isinstance(variables, list):

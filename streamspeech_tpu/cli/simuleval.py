@@ -101,13 +101,23 @@ def main(argv=None):
 
     def load_corpus():
         from streamspeech_tpu.data.dataset import load_audio_or_features
+        from streamspeech_tpu.data.youtube import (
+            is_youtube_url,
+            resolve_youtube_source,
+        )
 
         src_root = Path(args.source).parent
         srcs = []
         for line in Path(args.source).read_text().splitlines():
             if not line.strip():
                 continue
-            wav = load_audio_or_features(line.strip(), src_root)
+            ref = line.strip()
+            if is_youtube_url(ref):
+                # youtube-to-{text,speech} dataloader equivalence
+                # (`SimulEval/simuleval/data/dataloader/s2t_dataloader.py:114`)
+                ref = resolve_youtube_source(
+                    ref, cache_dir=args.output or ".")
+            wav = load_audio_or_features(ref, src_root)
             srcs.append(list(np.asarray(wav, np.float32)))
         return srcs, list(Path(args.target).read_text().splitlines())
 

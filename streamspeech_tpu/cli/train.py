@@ -96,14 +96,26 @@ def add_args(p: argparse.ArgumentParser):
     # smoke testing
     p.add_argument("--synthetic", action="store_true", default=False,
                    help="train on synthetic data with a tiny model")
+    p.add_argument("--tiny-dims", action="store_true", default=False,
+                   help="real data path with scaled-down model dims "
+                        "(learnability goldens on the CPU mesh; vocab sizes "
+                        "still come from the task dictionaries)")
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU backend (must run before backend "
+                        "init; this environment's sitecustomize otherwise "
+                        "force-selects the remote TPU)")
     return p
 
 
 def build_model_config(args, dicts) -> StreamSpeechConfig:
     if args.synthetic:
         return tiny_config()
-    cfg = StreamSpeechConfig.simul_s2st()
-    cfg.encoder.layers = args.encoder_layers
+    if args.tiny_dims:
+        cfg = tiny_config()
+        cfg.encoder.layers = min(args.encoder_layers, cfg.encoder.layers + 2)
+    else:
+        cfg = StreamSpeechConfig.simul_s2st()
+        cfg.encoder.layers = args.encoder_layers
     cfg.unit_decoder.ctc_upsample_rate = args.ctc_upsample_rate
     cfg.unit_decoder.vocab_size = len(dicts["units"])
     cfg.mt_decoder.vocab_size = len(dicts["target_unigram"])
@@ -145,6 +157,8 @@ def load_task(args):
 
 def main(argv=None):
     args = add_args(argparse.ArgumentParser()).parse_args(argv)
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     rng = random.Random(args.seed)
     np.random.seed(args.seed)
 

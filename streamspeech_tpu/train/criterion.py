@@ -47,6 +47,12 @@ class CriterionWeights:
     source_unigram: float = 4.0
     ctc_target_unigram: float = 4.0
     label_smoothing: float = 0.1
+    # main-pass unit CTC weight; the reference has no knob for it (always on,
+    # `speech_to_speech_ctc_asr_st_criterion.py:223-232`). Kept here so a
+    # weight of exactly 0.0 STATICALLY drops the term from the traced program
+    # (XLA cannot DCE `0.0 * ctc` under IEEE semantics because 0*inf=nan) —
+    # used by scripts/profile_train.py's per-component ablation.
+    unit_ctc: float = 1.0
 
 
 def streamspeech_loss(
@@ -61,35 +67,47 @@ def streamspeech_loss(
     src_text [B, Ns] / src_text_lengths (source_unigram transcript)
     tgt_text [B, Nt] / tgt_text_lengths (ctc_target_unigram text)
     """
+    zero = jnp.zeros((), jnp.float32)
+
     # main second-pass loss: CTC over upsampled unit logits
-    unit_logits = out["unit_logits"]
-    up_valid = jnp.repeat(out["mt_valid"],
-                          unit_logits.shape[1] // out["mt_valid"].shape[1], axis=1)
-    unit_input_lengths = jnp.sum(up_valid, axis=-1)
-    # NB: ctc_loss_sum applies log_softmax internally (all three backends —
-    # scan, Pallas, optax — take raw logits); passing logits straight through
-    # avoids a duplicated [B, T, V] log_softmax fwd+bwd per head (idempotent,
-    # so numerics are unchanged)
-    unit_loss = ctc_loss_sum(
-        unit_logits, unit_input_lengths, batch["target_units"],
-        batch["target_unit_lengths"], blank_id=unit_blank)
+    if weights.unit_ctc != 0.0:
+        unit_logits = out["unit_logits"]
+        up_valid = jnp.repeat(
+            out["mt_valid"],
+            unit_logits.shape[1] // out["mt_valid"].shape[1], axis=1)
+        unit_input_lengths = jnp.sum(up_valid, axis=-1)
+        # NB: ctc_loss_sum applies log_softmax internally (all three backends
+        # — scan, Pallas, optax — take raw logits); passing logits straight
+        # through avoids a duplicated [B, T, V] log_softmax fwd+bwd per head
+        # (idempotent, so numerics are unchanged)
+        unit_loss = ctc_loss_sum(
+            unit_logits, unit_input_lengths, batch["target_units"],
+            batch["target_unit_lengths"], blank_id=unit_blank)
+    else:
+        unit_loss = zero
 
     # first-pass MT CE (label-smoothed)
     mt_valid = batch["mt_targets"] != 1
-    ce = label_smoothed_nll(out["mt_logits"], batch["mt_targets"], mt_valid,
-                            weights.label_smoothing)
+    if weights.target_unigram != 0.0:
+        ce = label_smoothed_nll(out["mt_logits"], batch["mt_targets"],
+                                mt_valid, weights.label_smoothing)
+    else:
+        ce = {"loss": zero, "nll_loss": zero}
 
     # aux CTC heads over encoder frames (blank = 0)
-    enc_lengths = out["encoder_lengths"]
-    # fused on the Pallas path: one DP kernel sweep over both heads (they
-    # share the encoder frame axis and blank=0)
-    asr_loss, st_loss = ctc_loss_sum_pair(
-        out["asr_logits"], enc_lengths, batch["src_text"],
-        batch["src_text_lengths"],
-        out["st_logits"], enc_lengths, batch["tgt_text"],
-        batch["tgt_text_lengths"], blank_id=0)
+    if weights.source_unigram != 0.0 or weights.ctc_target_unigram != 0.0:
+        enc_lengths = out["encoder_lengths"]
+        # fused on the Pallas path: one DP kernel sweep over both heads (they
+        # share the encoder frame axis and blank=0)
+        asr_loss, st_loss = ctc_loss_sum_pair(
+            out["asr_logits"], enc_lengths, batch["src_text"],
+            batch["src_text_lengths"],
+            out["st_logits"], enc_lengths, batch["tgt_text"],
+            batch["tgt_text_lengths"], blank_id=0)
+    else:
+        asr_loss, st_loss = zero, zero
 
-    total = (unit_loss
+    total = (weights.unit_ctc * unit_loss
              + weights.target_unigram * ce["loss"]
              + weights.source_unigram * asr_loss
              + weights.ctc_target_unigram * st_loss)

@@ -1,0 +1,76 @@
+"""Flagship end-to-end learnability golden (VERDICT r3 item #5).
+
+The reference's de-facto golden test is quality+latency on real data
+(`/root/reference/README.md:207-208`: ASR_BLEU 15.448 / AL 1724.9 after the
+example training run). No released data/checkpoints exist in this
+environment, so the local equivalent trains the REAL model (real criterion,
+streaming masks, random n2) on the deterministic toy S2ST task through the
+REAL CLIs — `cli.train` then `cli.generate` — and asserts the decoded
+outputs are *correct*, not merely that the loss fell:
+
+  trained unit edit rate < 0.3 absolute AND < half the untrained rate,
+  trained text token accuracy > 0.9.
+
+Stages run as plain-CPU subprocesses (fresh backend each; no mesh/global
+state bleed into the suite). ~3-6 min on this box's single core — the
+slowest test in the suite, by design the closest to the reference golden.
+"""
+
+import numpy as np
+import pytest
+
+
+def test_toy_dataset_roundtrip(tmp_path):
+    """The generated task loads through the real dataset/task plumbing."""
+    from streamspeech_tpu.config import MultitaskConfig, S2SDataConfig
+    from streamspeech_tpu.data.dataset import SpeechToSpeechDataset
+    from streamspeech_tpu.data.toy_task import (
+        generate_toy_dataset,
+        read_dev_refs,
+    )
+    from streamspeech_tpu.dictionary import Dictionary
+
+    task = generate_toy_dataset(str(tmp_path), n_train=8, n_dev=4, seed=3)
+    unit_dict = Dictionary.units(task["n_units"])
+    unit_dict.add_blank()
+    mt_cfg = MultitaskConfig.load(
+        str(tmp_path / task["multitask_config_yaml"]))
+    assert set(mt_cfg.tasks) == {"target_unigram", "source_unigram",
+                                 "ctc_target_unigram"}
+    assert mt_cfg.tasks["target_unigram"].loss_weight == 8.0
+    dicts = {n: Dictionary.load(t.dict_path) for n, t in mt_cfg.tasks.items()}
+    targets = {
+        n: SpeechToSpeechDataset.load_multitask_targets(
+            str(tmp_path / n / "dev.tsv"), dicts[n])
+        for n in mt_cfg.tasks}
+    ds = SpeechToSpeechDataset(
+        str(tmp_path / "dev.tsv"), unit_dict,
+        S2SDataConfig.load(str(tmp_path / task["config_yaml"])),
+        targets, split="dev")
+    assert len(ds) == 4
+    batch = ds.collate(np.arange(4))
+    assert batch["src_tokens"].shape[-1] == 80
+    # unit ids in the batch are dict ids (raw code + 4 specials)
+    refs = read_dev_refs(str(tmp_path))
+    raw0 = refs[0][1]
+    assert list(batch["target_units"][0][: len(raw0)]) == \
+        [u + 4 for u in raw0]
+    # text targets match the reference tokens through the dictionary
+    d = dicts["target_unigram"]
+    ids = batch["mt_targets"][0]
+    toks = [d[i] for i in ids if i >= d.nspecial]
+    assert toks == refs[0][2]
+
+
+@pytest.mark.slow
+def test_learnability_golden(tmp_path):
+    from streamspeech_tpu.data.toy_task import run_learnability_golden
+
+    res = run_learnability_golden(str(tmp_path), max_update=300,
+                                  n_train=300, n_dev=24)
+    u, t = res["untrained"], res["trained"]
+    # the untrained model must make the comparison non-vacuous
+    assert u["unit_edit_rate"] > 0.6, u
+    assert t["unit_edit_rate"] < 0.3, res
+    assert t["unit_edit_rate"] < 0.5 * u["unit_edit_rate"], res
+    assert t["text_token_acc"] > 0.9, res
