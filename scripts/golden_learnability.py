@@ -21,6 +21,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--max-update", type=int, default=300)
     ap.add_argument("--n-train", type=int, default=300)
+    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--upsample", type=int, default=8)
     ap.add_argument("--n-dev", type=int, default=24)
     ap.add_argument("--workdir", default="/tmp/golden_learn")
     ap.add_argument("--write-doc", action="store_true",
@@ -32,6 +34,7 @@ def main():
     t0 = time.perf_counter()
     res = run_learnability_golden(args.workdir, max_update=args.max_update,
                                   n_train=args.n_train, n_dev=args.n_dev,
+                                  lr=args.lr, upsample=args.upsample,
                                   verbose=True)
     res["max_update"] = args.max_update
     res["wall_s"] = round(time.perf_counter() - t0, 1)

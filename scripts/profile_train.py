@@ -205,8 +205,11 @@ def profile_row(name, batch, frames, k, args, **build_kw):
             cost = low.compile().cost_analysis()
         if isinstance(cost, (list, tuple)):
             cost = cost[0]
-        flops = float(cost.get("flops", 0.0)) / k or None
-        bytes_acc = float(cost.get("bytes accessed", 0.0)) / k or None
+        # XLA cost analysis counts a lax.scan body ONCE regardless of trip
+        # count (verified: scan k=1 vs k=10 of a matmul report identical
+        # flops) — the K-step block's numbers ARE the per-step numbers
+        flops = float(cost.get("flops", 0.0)) or None
+        bytes_acc = float(cost.get("bytes accessed", 0.0)) or None
     except Exception:
         import traceback
 
@@ -264,8 +267,25 @@ def main():
     from streamspeech_tpu.train.criterion import CriterionWeights
 
     rows = []
+    done = set()
+    try:  # resume: skip rows already recorded in --out
+        with open(args.out) as f:
+            for line in f:
+                done.add(json.loads(line).get("name"))
+    except OSError:
+        pass
 
-    def emit(row):
+    def emit(name, *a, **kw):
+        if name in done:
+            print(f"skip {name} (already in {args.out})", file=sys.stderr)
+            return
+        try:
+            row = profile_row(name, *a, **kw)
+        except Exception:
+            import traceback
+
+            traceback.print_exc()
+            return
         rows.append(row)
         print(json.dumps(row), flush=True)
         with open(args.out, "a") as f:
@@ -273,23 +293,19 @@ def main():
 
     if not args.skip_sweep:
         for b in args.batches:
-            emit(profile_row(f"full-B{b}", b, args.frames, args.k, args))
+            emit(f"full-B{b}", b, args.frames, args.k, args)
 
     if not args.skip_ablations:
         B = args.base_batch
-        emit(profile_row("fwd-only", B, args.frames, args.k, args,
-                         mode="fwd-only"))
-        emit(profile_row("fwd+bwd", B, args.frames, args.k, args,
-                         mode="fwd+bwd"))
-        emit(profile_row("ce-only", B, args.frames, args.k, args,
-                         weights=CriterionWeights(
-                             unit_ctc=0.0, source_unigram=0.0,
-                             ctc_target_unigram=0.0)))
-        emit(profile_row("no-aux-ctc", B, args.frames, args.k, args,
-                         weights=CriterionWeights(
-                             source_unigram=0.0, ctc_target_unigram=0.0)))
-        emit(profile_row("no-pallas", B, args.frames, args.k, args,
-                         pallas=False))
+        emit("fwd-only", B, args.frames, args.k, args, mode="fwd-only")
+        emit("fwd+bwd", B, args.frames, args.k, args, mode="fwd+bwd")
+        emit("ce-only", B, args.frames, args.k, args,
+             weights=CriterionWeights(unit_ctc=0.0, source_unigram=0.0,
+                                      ctc_target_unigram=0.0))
+        emit("no-aux-ctc", B, args.frames, args.k, args,
+             weights=CriterionWeights(source_unigram=0.0,
+                                      ctc_target_unigram=0.0))
+        emit("no-pallas", B, args.frames, args.k, args, pallas=False)
 
     print(json.dumps({"rows": rows}, indent=1), file=sys.stderr)
 

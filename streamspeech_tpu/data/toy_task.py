@@ -120,6 +120,7 @@ def generate_toy_dataset(out_dir: str, n_train: int = 300, n_dev: int = 24,
 def run_learnability_golden(workdir: str, max_update: int = 300,
                             n_train: int = 300, n_dev: int = 24,
                             lr: float = 2e-3, seed: int = 0,
+                            upsample: int = 8,
                             verbose: bool = False) -> Dict[str, Dict]:
     """End-to-end flagship learnability golden (VERDICT r3 item #5).
 
@@ -158,7 +159,7 @@ def run_learnability_golden(workdir: str, max_update: int = 300,
     common = ["--data", task["data"], "--config-yaml", task["config_yaml"],
               "--multitask-config-yaml", task["multitask_config_yaml"],
               "--target-code-size", task["n_units"], "--tiny-dims",
-              "--ctc-upsample-rate", 8, "--max-tokens", 1536,
+              "--ctc-upsample-rate", upsample, "--max-tokens", 1536,
               "--lr", lr, "--warmup-updates", 30, "--seed", seed + 1,
               "--log-interval", 10, "--validate-interval-updates", 10 ** 9,
               "--save-interval-updates", 10 ** 9]

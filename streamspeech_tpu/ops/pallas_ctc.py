@@ -247,7 +247,13 @@ def _run_padded(parts, tc_cap: int, interpret: bool) -> jnp.ndarray:
     # in-kernel row loop is python-unrolled, so keep blocks modest)
     bp = _round_up(b, 8)
     sp = _round_up(s, 128)
-    tc = min(tc_cap, _round_up(t, 8))
+    # VMEM budget: the beta kernel holds ~4 [bp, tc, sp] f32 blocks (3 inputs
+    # + grad out), double-buffered by the grid pipeline -> ~8 live copies.
+    # Cap tc so that fits the ~16 MB scoped-VMEM limit with headroom (a fixed
+    # tc=32 OOMed the compile at B=32: 8 x 32*32*640*4B = 21 MB > 16 MB).
+    vmem_budget = 8 * 1024 * 1024
+    tc_fit = max(8, (vmem_budget // (8 * bp * sp * 4)) // 8 * 8)
+    tc = min(tc_cap, tc_fit, _round_up(t, 8))
     tp = _round_up(t, tc)
     lp_ext = jnp.pad(lp_ext, ((0, bp - b), (0, tp - t), (0, sp - s)),
                      constant_values=NNEG)

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 import time
 from typing import Dict, List, Optional, Tuple
 
@@ -847,20 +848,45 @@ class StreamSpeechEngine:
 
     def warmup(self, chunk: int = 8, conv_chunk: int = 8,
                whole_word: bool = False, k1: int = 0, n: int = 1,
-               max_len: int = 200, pipelined: bool = False) -> int:
+               max_len: int = 200, pipelined: bool = False,
+               concurrency: Optional[int] = None) -> int:
         """Compile every streaming program variant for the given chunking
         (serving-startup cost, NOT per-chunk): through this environment's
         remote compile helper a lazy mid-stream compile costs minutes and
         wrecks tail latency. Returns the number of programs warmed.
         ``pipelined=True`` additionally compiles the device-resident-counter
         programs of the overlapped loop (policy_step_pipelined + the
-        cross-clamped fallback decode)."""
+        cross-clamped fallback decode).
+
+        ``concurrency > 1`` runs the per-program warmup thunks from a thread
+        pool: Python-side tracing stays GIL-serialized, but the remote
+        compile / persistent-cache-load RPC of one program overlaps the
+        tracing of the next (the thunks hit DISJOINT jit variants, so no
+        thread blocks another's executable-cache entry beyond jax's internal
+        compile locking). Default: 4 when the backend compiles remotely
+        (TPU), 1 otherwise — local CPU compiles are host-CPU-bound, so
+        threads only add contention (measured 47 s serial vs 57 s threaded
+        on this box's single core). Set ``STREAMSPEECH_WARMUP_VERBOSE=1``
+        for per-program timings."""
         import numpy as np
+
+        if concurrency is None:
+            try:
+                concurrency = 4 if jax.default_backend() != "cpu" else 1
+            except Exception:
+                concurrency = 1
+
+        thunks = []  # (label, thunk) pairs, executed below
+
+        def add(label):
+            def deco(fn):
+                thunks.append((label, fn))
+                return fn
+            return deco
 
         block = np.zeros((4 * math.lcm(max(chunk, 1), max(conv_chunk, 1)), 80),
                          np.float32)
         block_enc = math.lcm(max(chunk, 1), max(conv_chunk, 1))
-        count = 0
         if pipelined and self.vocoder is not None:
             table = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
             for cap in self.mt_buckets:
@@ -868,61 +894,98 @@ class StreamSpeechEngine:
                 if fill < 0 or fill + 2 * self.fused_steps + 2 > \
                         self.max_mt_tokens:
                     continue
-                sess = self.new_session()
-                sess.mt_tokens = [4] * fill
-                sess.mt_steps = fill
-                sess.pipe_set_counters(0, 0, 0)
-                sess.pipe_resync()
-                sess.pipe_dispatch(block, chunk, conv_chunk, k1, n,
-                                   whole_word, max_len, table, 0.0, block_enc)
-                sess.pipe_fetch_oldest()
-                count += 1
+
+                @add(f"pipe_dispatch[mt{cap}]")
+                def _(fill=fill):
+                    sess = self.new_session()
+                    sess.mt_tokens = [4] * fill
+                    sess.mt_steps = fill
+                    sess.pipe_set_counters(0, 0, 0)
+                    sess.pipe_resync()
+                    sess.pipe_dispatch(block, chunk, conv_chunk, k1, n,
+                                       whole_word, max_len, table, 0.0,
+                                       block_enc)
+                    sess.pipe_fetch_oldest()
+
             # cross-clamped fallback decode (pipelined host interludes run
             # while the device cache is ahead of the mirror)
-            s2 = self.new_session()
-            s2.push_features(block, chunk, conv_chunk)
-            s2.enc_len_dispatched = s2.enc_len + block_enc
-            s2.mt_decode(1)
-            count += 1
+            @add("pipe_fallback_decode")
+            def _():
+                s2 = self.new_session()
+                s2.push_features(block, chunk, conv_chunk)
+                s2.enc_len_dispatched = s2.enc_len + block_enc
+                s2.mt_decode(1)
+
         if self.vocoder is not None:
-            table = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
+            table2 = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
             for cap in self.mt_buckets:
                 fill = cap - self.fused_steps - 2
                 if fill < 0 or fill + self.fused_steps > self.max_mt_tokens:
                     continue
-                sess = self.new_session()
-                sess.mt_tokens = [4] * fill
-                sess.mt_steps = fill
+
                 # gates forced shut (huge prefix counters): compiles the
                 # encode+gates part; then forced open: compiles decode+emit
-                sess.fused_policy(block, chunk, conv_chunk, k1, n, whole_word,
-                                  max_len, table, 10 ** 6, 10 ** 6, 0)
-                sess2 = self.new_session()
-                sess2.mt_tokens = [4] * fill
-                sess2.mt_steps = fill
-                sess2.fused_policy(block, chunk, conv_chunk, k1, n, whole_word,
-                                   max_len, table, 0, 0, 0)
-                count += 2
+                @add(f"fused_policy_shut[mt{cap}]")
+                def _(fill=fill):
+                    sess = self.new_session()
+                    sess.mt_tokens = [4] * fill
+                    sess.mt_steps = fill
+                    sess.fused_policy(block, chunk, conv_chunk, k1, n,
+                                      whole_word, max_len, table2,
+                                      10 ** 6, 10 ** 6, 0)
+
+                @add(f"fused_policy_open[mt{cap}]")
+                def _(fill=fill):
+                    sess2 = self.new_session()
+                    sess2.mt_tokens = [4] * fill
+                    sess2.mt_steps = fill
+                    sess2.fused_policy(block, chunk, conv_chunk, k1, n,
+                                       whole_word, max_len, table2, 0, 0, 0)
+
         # host-path programs (fallbacks + finish): encoder, mt scan 4/16,
         # tail + full emission per mt bucket
-        sess = self.new_session()
-        sess.push_features(block, chunk, conv_chunk)
-        count += 1
+        @add("encoder")
+        def _():
+            sess = self.new_session()
+            sess.push_features(block, chunk, conv_chunk)
+
         for steps in (1, self.max_decode_per_call - 1,
                       self.finish_decode_steps - 1):
-            s2 = self.new_session()
-            s2.push_features(block, chunk, conv_chunk)
-            s2.mt_decode(steps)
-            count += 1
+            @add(f"mt_decode[{steps}]")
+            def _(steps=steps):
+                s2 = self.new_session()
+                s2.push_features(block, chunk, conv_chunk)
+                s2.mt_decode(steps)
+
         if self.vocoder is not None:
             for cap in self.mt_buckets:
-                s3 = self.new_session()
-                s3.push_features(block, chunk, conv_chunk)
-                s3.mt_tokens = [4] * max(1, cap - 2)
-                s3.mt_steps = len(s3.mt_tokens)
-                s3.emit_tail(0)
-                count += 1
-        return count
+                @add(f"emit_tail[mt{cap}]")
+                def _(cap=cap):
+                    s3 = self.new_session()
+                    s3.push_features(block, chunk, conv_chunk)
+                    s3.mt_tokens = [4] * max(1, cap - 2)
+                    s3.mt_steps = len(s3.mt_tokens)
+                    s3.emit_tail(0)
+
+        verbose = bool(os.environ.get("STREAMSPEECH_WARMUP_VERBOSE"))
+
+        def run_one(item):
+            label, fn = item
+            t0 = time.perf_counter()
+            fn()
+            if verbose:
+                print(f"warmup[{label}]: {time.perf_counter() - t0:.1f}s",
+                      flush=True)
+
+        if concurrency > 1 and len(thunks) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=concurrency) as ex:
+                list(ex.map(run_one, thunks))
+        else:
+            for item in thunks:
+                run_one(item)
+        return len(thunks)
 
 
 class StreamingSession:
