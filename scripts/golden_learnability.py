@@ -1,10 +1,11 @@
 """Flagship learnability golden (VERDICT r3 item #5): train the real
-StreamSpeech model on the deterministic toy S2ST task through cli.train,
-decode through cli.generate, and record quality vs the untrained model —
-the local analogue of the reference's golden example run
-(`/root/reference/README.md:140-210`).
+StreamSpeech model on the deterministic wav-based toy S2ST task through
+cli.train, evaluate STREAMING — text through `cli.simuleval --agent s2tt`,
+units through the streaming S2ST agent — and record quality vs the
+untrained model: the local analogue of the reference's golden example run
+(`/root/reference/README.md:140-210`, train → simuleval → quality+latency).
 
-Usage: python scripts/golden_learnability.py [--max-update 300]
+Usage: python scripts/golden_learnability.py [--max-update 800]
            [--workdir /tmp/golden_learn] [--write-doc]
 """
 
@@ -19,9 +20,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--max-update", type=int, default=300)
+    ap.add_argument("--max-update", type=int, default=2000)
     ap.add_argument("--n-train", type=int, default=300)
-    ap.add_argument("--lr", type=float, default=2e-3)
+    ap.add_argument("--lr", type=float, default=3e-3)
+    ap.add_argument("--dropout", type=float, default=0.0)
     ap.add_argument("--upsample", type=int, default=8)
     ap.add_argument("--n-dev", type=int, default=24)
     ap.add_argument("--workdir", default="/tmp/golden_learn")
@@ -29,13 +31,20 @@ def main():
                     help="write docs/golden_learnability.md")
     args = ap.parse_args()
 
+    import os
+
+    os.environ.pop("XLA_FLAGS", None)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
     from streamspeech_tpu.data.toy_task import run_learnability_golden
 
     t0 = time.perf_counter()
     res = run_learnability_golden(args.workdir, max_update=args.max_update,
                                   n_train=args.n_train, n_dev=args.n_dev,
                                   lr=args.lr, upsample=args.upsample,
-                                  verbose=True)
+                                  dropout=args.dropout, verbose=True)
     res["max_update"] = args.max_update
     res["wall_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(res))
@@ -45,27 +54,39 @@ def main():
             "golden_learnability.md"
         doc.parent.mkdir(exist_ok=True)
         u, t = res["untrained"], res["trained"]
+
+        def row(name, s):
+            al = s.get("AL", float("nan"))
+            bleu = s.get("BLEU", float("nan"))
+            return (f"| {name} | {s['unit_edit_rate']:.3f} | "
+                    f"{s['text_token_acc']:.3f} | {bleu:.1f} | {al:.0f} |")
+
         doc.write_text(f"""# Flagship learnability golden
 
-End-to-end proof that the training stack produces *correct outputs*, not just
-falling loss: the real StreamSpeech model (scaled-down dims, real criterion
-incl. streaming masks and the random-n2 draw) trained {args.max_update} steps
-through `cli.train` on the deterministic toy S2ST task
-(`data/toy_task.py`: spectral word patterns -> unit subsequences + text),
-then decoded through `cli.generate` (greedy) on {args.n_dev} held-out
-utterances. Reference analogue: the golden example run
+End-to-end proof that the training stack produces *correct outputs*, not
+just falling loss: the real StreamSpeech model (scaled-down dims, real
+criterion incl. streaming masks and the random-n2 draw) trained
+{args.max_update} steps through `cli.train` on the deterministic wav-based
+toy S2ST task (`data/toy_task.py`: word-specific tones -> unit
+subsequences + text), then evaluated STREAMING on {args.n_dev} held-out
+utterances the way the reference golden is — text through
+`cli.simuleval --agent s2tt` (the real CLI end to end, 320 ms segments),
+units through the streaming S2ST agent via the batched evaluator. A
+simul-trained model is in-distribution only under its streaming masks, so
+the offline full-context decode the previous revision of this golden used
+systematically under-scored it. Reference analogue: the golden example run
 (`/root/reference/README.md:140-210`).
 
 Reproduce: `python scripts/golden_learnability.py --write-doc`
 ({res['wall_s']} s on this box's single CPU core).
 
-| checkpoint | unit edit rate (lower better) | text token accuracy |
-|---|---|---|
-| untrained (step 0) | {u['unit_edit_rate']:.3f} | {u['text_token_acc']:.3f} |
-| trained (step {args.max_update}) | {t['unit_edit_rate']:.3f} | {t['text_token_acc']:.3f} |
+| checkpoint | unit edit rate (lower better) | text token acc | BLEU | AL ms |
+|---|---|---|---|---|
+{row('untrained (step 0)', u)}
+{row(f'trained (step {args.max_update})', t)}
 
 Gate (tests/test_learnability.py): trained unit edit rate < 0.3 AND
-< half the untrained rate; text accuracy > 0.9.
+< half the untrained rate; text accuracy > 0.9; finite AL.
 """)
         print(f"wrote {doc}", file=sys.stderr)
 

@@ -77,7 +77,16 @@ def main(argv=None):
                    help="slurm partition (`simuleval/options.py` default)")
     p.add_argument("--slurm-time", type=str, default="2:00:00")
     p.add_argument("--slurm-job-name", type=str, default="simuleval")
+    p.add_argument("--cpu", action="store_true", default=False,
+                   help="force the CPU backend (must run before backend "
+                        "init; this environment's sitecustomize otherwise "
+                        "force-selects the remote TPU)")
     args = p.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     if args.slurm:
         submit_slurm_job(args, argv)

@@ -90,6 +90,9 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--multichunk", action="store_true", default=False)
     p.add_argument("--ctc-upsample-rate", type=int, default=25)
     p.add_argument("--encoder-layers", type=int, default=12)
+    p.add_argument("--dropout", type=float, default=None,
+                   help="override model dropout everywhere (fairseq "
+                        "--dropout; default: the architecture's 0.1)")
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="model-parallel size")
     p.add_argument("--fsdp", action="store_true", default=False)
@@ -116,6 +119,10 @@ def build_model_config(args, dicts) -> StreamSpeechConfig:
     else:
         cfg = StreamSpeechConfig.simul_s2st()
         cfg.encoder.layers = args.encoder_layers
+    if args.dropout is not None:
+        cfg.encoder.dropout = args.dropout
+        cfg.mt_decoder.dropout = args.dropout
+        cfg.unit_decoder.dropout = args.dropout
     cfg.unit_decoder.ctc_upsample_rate = args.ctc_upsample_rate
     cfg.unit_decoder.vocab_size = len(dicts["units"])
     cfg.mt_decoder.vocab_size = len(dicts["target_unigram"])
