@@ -12,6 +12,8 @@ whether the measured MFU is compute-starved (small batch) or memory-bound:
     fwd+bwd       value_and_grad, optimizer replaced by a trivial apply
     ce-only       unit/asr/st CTC off -> CTC total cost by delta
     no-aux-ctc    asr/st CTC off     -> aux-CTC pair cost by delta
+    unit-surrogate unit decoder live, CTC DP replaced by mean|logit|
+                   -> splits the ce-only delta into decoder-stack vs DP-kernel
     no-pallas     STREAMSPEECH_DISABLE_PALLAS=1 (+ no PALLAS_TRAIN)
 
 Roofline method: XLA's own cost analysis for the compiled block gives matmul
@@ -305,6 +307,8 @@ def main():
         emit("no-aux-ctc", B, args.frames, args.k, args,
              weights=CriterionWeights(source_unigram=0.0,
                                       ctc_target_unigram=0.0))
+        emit("unit-surrogate", B, args.frames, args.k, args,
+             weights=CriterionWeights(unit_surrogate=True))
         emit("no-pallas", B, args.frames, args.k, args, pallas=False)
 
     print(json.dumps({"rows": rows}, indent=1), file=sys.stderr)

@@ -53,6 +53,11 @@ class CriterionWeights:
     # (XLA cannot DCE `0.0 * ctc` under IEEE semantics because 0*inf=nan) —
     # used by scripts/profile_train.py's per-component ablation.
     unit_ctc: float = 1.0
+    # profiling-only: keep the unit decoder branch live but replace the CTC
+    # DP with a trivial surrogate (mean |logit|) — isolates the DP kernel's
+    # cost from the decoder stack's in scripts/profile_train.py. Never set
+    # in training.
+    unit_surrogate: bool = False
 
 
 def streamspeech_loss(
@@ -80,9 +85,12 @@ def streamspeech_loss(
         # — scan, Pallas, optax — take raw logits); passing logits straight
         # through avoids a duplicated [B, T, V] log_softmax fwd+bwd per head
         # (idempotent, so numerics are unchanged)
-        unit_loss = ctc_loss_sum(
-            unit_logits, unit_input_lengths, batch["target_units"],
-            batch["target_unit_lengths"], blank_id=unit_blank)
+        if weights.unit_surrogate:
+            unit_loss = jnp.sum(jnp.abs(unit_logits.astype(jnp.float32))) * 1e-6
+        else:
+            unit_loss = ctc_loss_sum(
+                unit_logits, unit_input_lengths, batch["target_units"],
+                batch["target_unit_lengths"], blank_id=unit_blank)
     else:
         unit_loss = zero
 
