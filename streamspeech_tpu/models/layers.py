@@ -53,6 +53,21 @@ def _pallas_ok(t: int, head_dim: int) -> bool:
     return backend == "tpu" and t >= 256 and t % 128 == 0 and head_dim % 8 == 0
 
 
+def _masked_pallas_ok(t: int, head_dim: int) -> bool:
+    """Gate for the fused causal masked-attention kernel (pallas_attention.py
+    masked_attention): unlike the rel-pos kernel, T is padded to the tile
+    internally, so only a worth-it floor and a head-dim alignment apply."""
+    import os
+
+    if os.environ.get("STREAMSPEECH_DISABLE_PALLAS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu" and t >= 256 and head_dim % 8 == 0
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
@@ -178,11 +193,19 @@ class MultiHeadAttention(nn.Module):
         cache: Optional[KVCache] = None,
         deterministic: bool = True,
         cache_is_cross: bool = False,
+        causal: bool = False,
     ):
         """cache semantics: for SELF-attention (cache_is_cross=False) the new
         queries' K/V are appended before attending; for CROSS-attention
         (cache_is_cross=True) the cache holds pre-projected encoder K/V (filled
-        by fill_cross_cache) and is read-only here."""
+        by fill_cross_cache) and is read-only here.
+
+        ``causal=True`` (no-cache self-attention only) declares the self mask
+        is pure lower-triangular causality; on TPU at worthwhile T this routes
+        to the fused Pallas kernel (ops/pallas_attention.py masked_attention —
+        the mask is computed in-kernel from iota, no [T,T] tensor in HBM, and
+        attention-prob dropout is fused), otherwise the causal mask is built
+        here and the XLA path below is numerically identical."""
         h = self.num_heads
         dh = self.embed_dim // h
         scale = dh ** -0.5
@@ -211,11 +234,60 @@ class MultiHeadAttention(nn.Module):
             t = kv_in.shape[1]
             k = self.k_proj(kv_in).reshape(b, t, h, dh)
             v = self.v_proj(kv_in).reshape(b, t, h, dh)
+            import os as _os
+            pallas_train = bool(_os.environ.get("STREAMSPEECH_PALLAS_TRAIN"))
+            if (causal and key_value is None and allowed is None
+                    and (deterministic or pallas_train)
+                    and _masked_pallas_ok(t, dh)):
+                out = self._causal_pallas(q, k, v, key_valid, scale,
+                                          deterministic)
+                out = self.out_proj(out.reshape(b, s, self.embed_dim))
+                return (out, None)
+            if causal and allowed is None:
+                from streamspeech_tpu.ops.masks import causal_allowed
+
+                allowed = causal_allowed(s)
             bias = mask_to_bias(allowed, key_valid)
             out = _attend(q, k, v, bias, scale, self.dropout_module, deterministic)
 
         out = self.out_proj(out.reshape(b, s, self.embed_dim))
         return (out, cache) if cache is not None else (out, None)
+
+    def _causal_pallas(self, q, k, v, key_valid, scale, deterministic):
+        """Fused causal self-attention via the Pallas masked_attention kernel.
+        q/k/v: [B, S, H, Dh]. Pads S to the 128 tile (padded keys masked via
+        the [B, T] validity bias; padded query rows are sliced off), fuses
+        attention-prob dropout in training (same Bernoulli(1-p)/(1-p)
+        semantics as nn.Dropout, different RNG stream — matches the rel-pos
+        kernel's contract). Returns [B, S, H, Dh] in the input dtype."""
+        from streamspeech_tpu.ops.pallas_attention import (
+            masked_attention_trainable,
+        )
+
+        b, s, h, dh = q.shape
+        t_pad = -(-s // 128) * 128
+        if key_valid is None:
+            kvb = jnp.zeros((b, s), jnp.float32)
+        else:
+            kv2 = key_valid if key_valid.ndim == 2 else jnp.broadcast_to(
+                key_valid[None], (b, s))
+            kvb = jnp.where(kv2, 0.0, NEG_INF).astype(jnp.float32)
+        if t_pad != s:
+            kvb = jnp.pad(kvb, ((0, 0), (0, t_pad - s)),
+                          constant_values=NEG_INF)
+            pad4 = ((0, 0), (0, t_pad - s), (0, 0), (0, 0))
+            q, k, v = (jnp.pad(a, pad4) for a in (q, k, v))
+        rate = 0.0 if deterministic else float(self.dropout)
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1, 1), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        out = masked_attention_trainable(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), kvb[:, None, :], seed, scale, True,
+            128, rate)
+        return out.transpose(0, 2, 1, 3)[:, :s].astype(v.dtype)
 
     def fill_cross_cache(self, key_value: jnp.ndarray, cache: KVCache) -> KVCache:
         """Project encoder states once and append into a cross-attention cache."""

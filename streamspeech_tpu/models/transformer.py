@@ -272,12 +272,14 @@ class TransformerDecoderLayer(nn.Module):
     def __call__(self, x, enc, allowed_self=None, allowed_cross=None,
                  self_valid=None, enc_valid=None, deterministic=True,
                  self_cache: Optional[KVCache] = None,
-                 cross_cache: Optional[KVCache] = None):
+                 cross_cache: Optional[KVCache] = None,
+                 self_causal: bool = False):
         residual = x
         if self.normalize_before:
             x = self.self_attn_layer_norm(x)
         x, self_cache = self.self_attn(x, None, allowed_self, self_valid,
-                                       self_cache, deterministic)
+                                       self_cache, deterministic,
+                                       causal=self_causal)
         x = self.dropout_module(x, deterministic=deterministic)
         x = residual + x
         if not self.normalize_before:
@@ -358,12 +360,13 @@ class AugTransformerDecoderLayer(nn.Module):
         return residual, x, ln
 
     def __call__(self, x, enc, enc_aug, allowed_self=None, self_valid=None,
-                 enc_valid=None, enc_aug_valid=None, deterministic=True):
+                 enc_valid=None, enc_aug_valid=None, deterministic=True,
+                 self_causal: bool = False):
         residual = x
         if self.normalize_before:
             x = self.self_attn_layer_norm(x)
         x, _ = self.self_attn(x, None, allowed_self, self_valid, None,
-                              deterministic)
+                              deterministic, causal=self_causal)
         x = self.dropout_module(x, deterministic=deterministic)
         x = residual + x
         if not self.normalize_before:
@@ -444,11 +447,10 @@ class AugTransformerUnitDecoder(nn.Module):
                                         prev_output_tokens, axis=0)
         x = x + jnp.take(self.pos_table, positions, axis=0)
         x = self.dropout_module(x, deterministic=deterministic)
-        allowed_self = causal_allowed(s)
         self_valid = prev_output_tokens != PAD
         for layer in self.layers:
-            x = layer(x, enc, enc_aug, allowed_self, self_valid, enc_valid,
-                      enc_aug_valid, deterministic)
+            x = layer(x, enc, enc_aug, None, self_valid, enc_valid,
+                      enc_aug_valid, deterministic, self_causal=True)
         if self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
         return x @ self.embed_tokens.T.astype(x.dtype), x
@@ -523,12 +525,11 @@ class TransformerDecoder(nn.Module):
         positions = fairseq_positions(prev_output_tokens)
         x = self.embed(prev_output_tokens, positions)
         x = self.dropout_module(x, deterministic=deterministic)
-        allowed_self = causal_allowed(s)
         self_valid = prev_output_tokens != PAD
         x = self._apply_base(x, 0, deterministic)
         for j, layer in enumerate(self.layers):
-            x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
-                         enc_valid, deterministic)
+            x, _ = layer(x, enc, None, allowed_cross, self_valid,
+                         enc_valid, deterministic, self_causal=True)
             x = self._apply_base(x, j + 1, deterministic)
         if self.final_layer_norm is not None:
             x = self.final_layer_norm(x)
@@ -655,13 +656,16 @@ class CTCTransformerUnitDecoder(nn.Module):
         self_valid = None
         if enc_valid is not None:
             self_valid = jnp.repeat(enc_valid, c.ctc_upsample_rate, axis=1)
-        allowed_self = causal_allowed(t_up)
         if allowed_cross is None and src_step is not None:
             allowed_cross = waitk_allowed(t_up, t_mt, src_wait or 0, src_step,
                                           src_step * c.ctc_upsample_rate)
+        # self-attention is pure causality at T = t_mt*upsample (the hot shape
+        # of the train step — docs/training.md): declare it via self_causal so
+        # the fused Pallas kernel applies; the fallback builds the identical
+        # causal_allowed(t_up) mask inside MultiHeadAttention.
         for layer in self.layers:
-            x, _ = layer(x, enc, allowed_self, allowed_cross, self_valid,
-                         enc_valid, deterministic)
+            x, _ = layer(x, enc, None, allowed_cross, self_valid,
+                         enc_valid, deterministic, self_causal=True)
         x = self.layer_norm(x)
         return self._unit_logits(x), x
 

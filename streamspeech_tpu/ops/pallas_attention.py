@@ -367,3 +367,217 @@ def relpos_attention_reference(q_u, q_v, k, v, p, bias, scale: float):
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fused causal masked attention (no rel-pos) — for the NAR unit decoder.
+#
+# The XLA path of MultiHeadAttention at the unit decoder's training shape
+# (T = mt_len x 25 = 1200, B=8, H=8) materializes [B,H,T,T] score, prob and
+# dropout-mask tensors in HBM (~368 MB each in f32) for forward AND saves
+# probs for the backward — measured at ~56% of the whole train step
+# (docs/training.md ablations). This kernel keeps everything in VMEM per
+# (batch, head, q-block); the causal structure and key-validity are computed
+# IN-KERNEL from iota + a [B,T] row bias, so no [T,T] mask ever exists in HBM.
+# Same design as the rel-pos kernel above: full-row softmax per q-block
+# (K/V fit VMEM comfortably at these T), fused attention-prob dropout
+# (mask regenerated in the backward from (seed, b, h, q-block)), custom_vjp
+# with dK/dV accumulated across q-blocks purely through grid ordering.
+# Replaces reference behavior fairseq/modules/multihead_attention.py:747
+# (attn_probs = dropout(attn_weights)) for the causal self-attention case.
+# ---------------------------------------------------------------------------
+
+
+def _causal_block_bias(qi: int, bq: int, t: int):
+    """Additive f32 [BQ, T] causal bias for q-block qi (absolute rows
+    qi*bq .. qi*bq+bq-1): 0 where col <= row else NEG_INF."""
+    row = qi * bq + jax.lax.broadcasted_iota(jnp.int32, (bq, t), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (bq, t), 1)
+    return jnp.where(col <= row, 0.0, NEG_INF).astype(jnp.float32)
+
+
+def _causal_kernel(q_ref, k_ref, v_ref, kvb_ref, seed_ref, out_ref, *,
+                   scale: float, bq: int, t: int, causal: bool,
+                   dropout_rate: float):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]              # [BQ, D]
+    k = k_ref[0, 0]              # [T, D]
+    v = v_ref[0, 0]
+
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = scores + kvb_ref[0, 0][None, :]        # key-valid bias [T]
+    if causal:
+        scores = scores + _causal_block_bias(qi, bq, t)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref[0, 0], pl.program_id(0),
+                             pl.program_id(1), qi, (bq, t), dropout_rate)
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "causal", "block_q",
+                                             "interpret", "dropout_rate"))
+def masked_attention(q, k, v, kv_bias, scale: float, causal: bool = True,
+                     block_q: int = 128, interpret: bool = False,
+                     dropout_rate: float = 0.0, seed=None):
+    """q/k/v: [B, H, T, D] (T pre-padded to a multiple of 128 by the caller /
+    masked_attention_trainable); kv_bias: [B, 1, T] additive f32 key-validity
+    bias (0 valid, NEG_INF masked — padding columns included; the singleton
+    middle axis satisfies the TPU block-tiling rule for the [1, 1, T] block). Returns
+    [B, H, T, D] f32. dropout_rate > 0 applies attention-prob dropout
+    in-kernel (TPU-compiled only; the TPU PRNG has no interpret lowering)."""
+    b, h, t, d = q.shape
+    bq = min(block_q, t)
+    while t % bq != 0:
+        bq //= 2
+    bq = max(bq, 1)
+    grid = (b, h, t // bq)
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    assert not (dropout_rate > 0.0 and interpret), \
+        "in-kernel dropout needs the TPU PRNG (no interpret-mode lowering)"
+
+    return pl.pallas_call(
+        functools.partial(_causal_kernel, scale=scale, bq=bq, t=t,
+                          causal=causal, dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda bb, hh, qq: (bb, 0, 0)),
+            pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda bb, hh, qq: (bb, hh, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, t, d), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, kv_bias, seed)
+
+
+def _causal_recompute(q, k, v, kvb, g, *, scale, bq, t, causal, qi,
+                      dropout_rate, seed_ids):
+    """Recompute the block's probs and dscores (softmax backward), applying
+    the SAME dropout mask as the forward (regenerated from seed_ids)."""
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = scores + kvb[None, :]
+    if causal:
+        scores = scores + _causal_block_bias(qi, bq, t)
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    dprobs = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        seed_val, bb, hh = seed_ids
+        keep = _dropout_keep(seed_val, bb, hh, qi, (bq, t), dropout_rate)
+        inv = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+        dprobs = dprobs * inv
+        probs_for_dv = probs * inv
+    else:
+        probs_for_dv = probs
+    dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True)) * scale
+    return probs_for_dv, dscores
+
+
+def _causal_bwd_kernel(q_ref, k_ref, v_ref, kvb_ref, g_ref, seed_ref,
+                       dq_ref, dk_ref, dv_ref, *, scale, bq, t, causal,
+                       dropout_rate):
+    qi = pl.program_id(2)
+    q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+    probs, dscores = _causal_recompute(
+        q, k, v, kvb_ref[0, 0], g, scale=scale, bq=bq, t=t, causal=causal,
+        qi=qi, dropout_rate=dropout_rate,
+        seed_ids=(seed_ref[0, 0], pl.program_id(0), pl.program_id(1)))
+    dq_ref[0, 0] = jnp.dot(dscores, k, preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jnp.dot(dscores.T, q, preferred_element_type=jnp.float32)
+    dv_ref[0, 0] += jnp.dot(probs.T, g, preferred_element_type=jnp.float32)
+
+
+def _masked_bwd(causal, block_q, dropout_rate, res, g):
+    q, k, v, kv_bias, seed, scale = res
+    b, h, t, d = q.shape
+    bq = min(block_q, t)
+    while t % bq != 0:
+        bq //= 2
+    bq = max(bq, 1)
+    g = g.astype(jnp.float32)
+
+    kern = functools.partial(_causal_bwd_kernel, scale=scale, bq=bq, t=t,
+                             causal=causal, dropout_rate=dropout_rate)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(b, h, t // bq),  # qi fastest -> dk/dv accumulate over q-blocks
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t), lambda bb, hh, qq: (bb, 0, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, t, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, t, d), jnp.float32)] * 3,
+        interpret=_relpos_bwd.interpret,
+    )(q, k, v, kv_bias, g, seed)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def masked_attention_trainable(q, k, v, kv_bias, seed, scale, causal=True,
+                               block_q=128, dropout_rate=0.0):
+    """Differentiable fused causal attention: Pallas forward AND backward.
+    Gradients flow to q, k, v; kv_bias is a constant mask. dropout_rate > 0
+    fuses attention-prob dropout into both passes (mask regenerated in the
+    backward from (seed [1,1] int32, block ids) — no [B,H,T,T] residual)."""
+    return masked_attention(q, k, v, kv_bias, scale=scale, causal=causal,
+                            block_q=block_q, interpret=_relpos_bwd.interpret,
+                            dropout_rate=dropout_rate, seed=seed)
+
+
+def _masked_fwd_rule(q, k, v, kv_bias, seed, scale, causal, block_q,
+                     dropout_rate):
+    out = masked_attention(q, k, v, kv_bias, scale=scale, causal=causal,
+                           block_q=block_q, interpret=_relpos_bwd.interpret,
+                           dropout_rate=dropout_rate, seed=seed)
+    seed_arr = jnp.zeros((1, 1), jnp.int32) if seed is None else seed
+    return out, (q, k, v, kv_bias, seed_arr, scale)
+
+
+def _masked_bwd_rule(scale_unused, causal, block_q, dropout_rate, res, g):
+    return _masked_bwd(causal, block_q, dropout_rate, res, g)
+
+
+masked_attention_trainable.defvjp(_masked_fwd_rule, _masked_bwd_rule)
+
+
+def masked_attention_reference(q, k, v, kv_bias, scale: float,
+                               causal: bool = True):
+    """Direct XLA computation (the path the kernel replaces), for testing."""
+    b, h, t, d = q.shape
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + kv_bias[:, :, None, :]
+    if causal:
+        i = jnp.arange(t)
+        scores = scores + jnp.where(i[:, None] >= i[None, :], 0.0,
+                                    NEG_INF).astype(jnp.float32)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)

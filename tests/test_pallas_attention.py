@@ -135,3 +135,101 @@ def test_dropout_gradients_tpu():
     for name, a_, b_ in zip(("dqu", "dqv", "dk", "dv"), gp, gr):
         np.testing.assert_allclose(np.asarray(a_), np.asarray(b_), atol=5e-4,
                                    err_msg=name)
+
+
+# ---------------------------------------------------------------------------
+# causal masked-attention kernel (the unit decoder's training shape)
+# ---------------------------------------------------------------------------
+
+
+def _masked_inputs(b=2, h=3, t=96, d=16, seed=0, valid_lens=None):
+    from streamspeech_tpu.ops.masks import lengths_to_mask
+
+    rng = np.random.RandomState(seed)
+    q, k, v = (jnp.asarray(rng.randn(b, h, t, d), jnp.float32)
+               for _ in range(3))
+    if valid_lens is None:
+        valid_lens = [t] * b
+    kv = lengths_to_mask(jnp.asarray(valid_lens), t)
+    kvb = jnp.where(kv, 0.0, -1e9).astype(jnp.float32)[:, None, :]  # [B,1,T]
+    return q, k, v, kvb
+
+
+def test_masked_kernel_matches_reference_causal():
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    q, k, v, kvb = _masked_inputs(valid_lens=[70, 96])
+    ref = pa.masked_attention_reference(q, k, v, kvb, scale=0.25, causal=True)
+    got = pa.masked_attention(q, k, v, kvb, scale=0.25, causal=True,
+                              block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+    # non-causal variant too
+    ref2 = pa.masked_attention_reference(q, k, v, kvb, scale=0.25,
+                                         causal=False)
+    got2 = pa.masked_attention(q, k, v, kvb, scale=0.25, causal=False,
+                               block_q=32, interpret=True)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=1e-5)
+
+
+def test_masked_kernel_gradients():
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    old = pa._relpos_bwd.interpret
+    pa._relpos_bwd.interpret = True
+    try:
+        q, k, v, kvb = _masked_inputs(seed=1, valid_lens=[60, 96])
+        seed = jnp.zeros((1, 1), jnp.int32)
+        g = jnp.asarray(np.random.RandomState(2).randn(*q.shape), jnp.float32)
+        gp = jax.grad(
+            lambda *a: jnp.vdot(g, pa.masked_attention_trainable(
+                *a, kvb, seed, 0.25, True, 32, 0.0)),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(
+            lambda *a: jnp.vdot(g, pa.masked_attention_reference(
+                *a, kvb, 0.25, causal=True)),
+            argnums=(0, 1, 2))(q, k, v)
+        for name, a_, b_ in zip("qkv", gp, gr):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       atol=5e-5, err_msg=name)
+    finally:
+        pa._relpos_bwd.interpret = old
+
+
+def test_mha_causal_flag_matches_explicit_mask():
+    """MultiHeadAttention(causal=True) on the fallback (CPU) path must equal
+    the legacy explicit causal_allowed mask path bit-for-bit — the decoders
+    now pass the flag instead of the materialized mask."""
+    from streamspeech_tpu.models.layers import MultiHeadAttention
+    from streamspeech_tpu.ops.masks import causal_allowed, lengths_to_mask
+
+    rng = np.random.RandomState(3)
+    b, s, c = 2, 12, 16
+    x = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    key_valid = lengths_to_mask(jnp.array([9, 12]), s)
+    mha = MultiHeadAttention(embed_dim=c, num_heads=4)
+    vs = mha.init(jax.random.PRNGKey(0), x)
+    old, _ = mha.apply(vs, x, None, causal_allowed(s), key_valid)
+    new, _ = mha.apply(vs, x, None, None, key_valid, causal=True)
+    np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
+
+
+def test_masked_dropout_tpu():
+    """Fused dropout in the masked kernel: deterministic per seed, different
+    across seeds, rate=0 == no-dropout. TPU-only (Mosaic PRNG)."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel dropout needs the TPU PRNG")
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    q, k, v, kvb = _masked_inputs(t=256, seed=4)
+    seed = jnp.array([[77]], jnp.int32)
+    f = lambda sd, r: pa.masked_attention_trainable(q, k, v, kvb, sd, 0.25,
+                                                    True, 128, r)
+    o1, o2 = f(seed, 0.1), f(seed, 0.1)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1),
+                           np.asarray(f(jnp.array([[5]], jnp.int32), 0.1)))
+    np.testing.assert_allclose(
+        np.asarray(f(seed, 0.0)),
+        np.asarray(pa.masked_attention(q, k, v, kvb, scale=0.25)), atol=1e-6)
