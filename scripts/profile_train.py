@@ -309,6 +309,11 @@ def main():
                                       ctc_target_unigram=0.0))
         emit("unit-surrogate", B, args.frames, args.k, args,
              weights=CriterionWeights(unit_surrogate=True))
+        # rel-pos encoder kernel on, fused causal unit-decoder kernel OFF —
+        # isolates the masked_attention kernel's contribution
+        os.environ["STREAMSPEECH_DISABLE_PALLAS_MASKED"] = "1"
+        emit("no-masked-attn", B, args.frames, args.k, args)
+        os.environ.pop("STREAMSPEECH_DISABLE_PALLAS_MASKED", None)
         emit("no-pallas", B, args.frames, args.k, args, pallas=False)
 
     print(json.dumps({"rows": rows}, indent=1), file=sys.stderr)

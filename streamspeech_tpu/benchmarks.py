@@ -806,7 +806,9 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
     voc = CodeGenerator(DEFAULT_VOCODER_CFG)
     vinit = jax.jit(lambda r: voc.init(r, jnp.zeros((1, 8), jnp.int32),
                                        max_frames=32))
-    voc_vars = jax.block_until_ready(vinit(jax.random.PRNGKey(1)))
+    voc_vars = retry_compile(
+        lambda: jax.block_until_ready(vinit(jax.random.PRNGKey(1))),
+        label="serving_vocoder_init")
     engine = StreamSpeechEngine(model, variables, voc, voc_vars,
                                 max_enc_frames=max_enc_frames,
                                 mt_buckets=mt_buckets,
@@ -839,7 +841,9 @@ def measure_batched_throughput(model=None, variables=None, batch: int = 8,
         ev(sources, refs)
         return time.perf_counter() - t0
 
-    t_warm = run()  # compiles the batch-B programs
+    t0_warm = time.perf_counter()
+    retry_compile(run, label="serving_warmup_wave")  # compiles batch-B programs
+    t_warm = time.perf_counter() - t0_warm
     if verbose:
         print(f"batched warmup wave: {t_warm:.1f}s", flush=True)
     wall = run()

@@ -56,16 +56,39 @@ def _pallas_ok(t: int, head_dim: int) -> bool:
 def _masked_pallas_ok(t: int, head_dim: int) -> bool:
     """Gate for the fused causal masked-attention kernel (pallas_attention.py
     masked_attention): unlike the rel-pos kernel, T is padded to the tile
-    internally, so only a worth-it floor and a head-dim alignment apply."""
+    internally, so only a worth-it floor and a head-dim alignment apply.
+    STREAMSPEECH_DISABLE_PALLAS_MASKED disables just this kernel (ablation
+    knob for scripts/profile_train.py — the rel-pos encoder kernel stays)."""
     import os
 
     if os.environ.get("STREAMSPEECH_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("STREAMSPEECH_DISABLE_PALLAS_MASKED"):
         return False
     try:
         backend = jax.default_backend()
     except Exception:
         return False
     return backend == "tpu" and t >= 256 and head_dim % 8 == 0
+
+
+def _bias_pallas_ok(s: int, head_dim: int) -> bool:
+    """Gate for the fused arbitrary-bias attention kernel (pallas_attention.py
+    bias_attention — carries the whole mask as a [B,S,T] additive bias, used
+    for the unit decoder's CTC-streaming-mask cross-attention at S=1200).
+    Worth it only at large query counts; STREAMSPEECH_DISABLE_PALLAS_CROSS
+    disables just this kernel (profile ablation knob)."""
+    import os
+
+    if os.environ.get("STREAMSPEECH_DISABLE_PALLAS"):
+        return False
+    if os.environ.get("STREAMSPEECH_DISABLE_PALLAS_CROSS"):
+        return False
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return False
+    return backend == "tpu" and s >= 512 and head_dim % 8 == 0
 
 
 @jax.tree_util.register_dataclass
@@ -248,6 +271,12 @@ class MultiHeadAttention(nn.Module):
 
                 allowed = causal_allowed(s)
             bias = mask_to_bias(allowed, key_valid)
+            if (bias is not None and bias.shape[1] == 1
+                    and (deterministic or pallas_train)
+                    and _bias_pallas_ok(s, dh)):
+                out = self._bias_pallas(q, k, v, bias, scale, deterministic)
+                out = self.out_proj(out.reshape(b, s, self.embed_dim))
+                return (out, None)
             out = _attend(q, k, v, bias, scale, self.dropout_module, deterministic)
 
         out = self.out_proj(out.reshape(b, s, self.embed_dim))

@@ -581,3 +581,179 @@ def masked_attention_reference(q, k, v, kv_bias, scale: float,
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
                       preferred_element_type=jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# Fused arbitrary-bias cross-attention — for the unit decoder's streaming
+# cross-attention (queries T_q = mt_len x 25 = 1200, keys T_k = encoder
+# frames = 256) whose mask is the DATA-DEPENDENT CTC streaming mask
+# (models/streamspeech.py build_streaming_mask, reference
+# researches/ctc_unity/modules/transformer_decoder.py) — not recomputable
+# from iota in-kernel, so it rides in as an additive [B, Tq, Tk] f32 bias
+# (a ~10 MB read at the hot shape, vs the [B,H,Tq,Tk] score/prob/dropout
+# tensors (~79 MB each, x fwd+bwd round trips) the XLA path materializes).
+# Same contract as the masked/rel-pos kernels: full-row softmax per q-block,
+# fused attention-prob dropout regenerated in the backward from
+# (seed, b, h, q-block), custom_vjp with dK/dV accumulated across q-blocks
+# through grid ordering. The bias is a constant (no dbias).
+# ---------------------------------------------------------------------------
+
+
+def _bias_kernel(q_ref, k_ref, v_ref, bias_ref, seed_ref, out_ref, *,
+                 scale: float, dropout_rate: float):
+    qi = pl.program_id(2)
+    q = q_ref[0, 0]              # [BQ, D]
+    k = k_ref[0, 0]              # [TK, D]
+    v = v_ref[0, 0]
+
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_ref[0]                   # [BQ, TK]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref[0, 0], pl.program_id(0),
+                             pl.program_id(1), qi, scores.shape, dropout_rate)
+        probs = jnp.where(keep, probs * (1.0 / (1.0 - dropout_rate)), 0.0)
+    out = jnp.dot(probs.astype(v.dtype), v,
+                  preferred_element_type=jnp.float32)
+    out_ref[0, 0] = out.astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "block_q", "interpret",
+                                             "dropout_rate"))
+def bias_attention(q, k, v, bias, scale: float, block_q: int = 128,
+                   interpret: bool = False, dropout_rate: float = 0.0,
+                   seed=None):
+    """q: [B, H, TQ, D]; k/v: [B, H, TK, D]; bias: [B, TQ, TK] additive f32
+    (carries EVERYTHING: streaming mask, key validity, padding — the kernel
+    adds no structure of its own). TQ/TK pre-padded by the caller (padding
+    columns masked in bias). Returns [B, H, TQ, D] f32."""
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq = min(block_q, tq)
+    while tq % bq != 0:
+        bq //= 2
+    bq = max(bq, 1)
+    grid = (b, h, tq // bq)
+    if seed is None:
+        seed = jnp.zeros((1, 1), jnp.int32)
+    assert not (dropout_rate > 0.0 and interpret), \
+        "in-kernel dropout needs the TPU PRNG (no interpret-mode lowering)"
+
+    return pl.pallas_call(
+        functools.partial(_bias_kernel, scale=scale,
+                          dropout_rate=dropout_rate),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, bq, tk), lambda bb, hh, qq: (bb, qq, 0)),
+            pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, bq, d),
+                               lambda bb, hh, qq: (bb, hh, qq, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, tq, d), jnp.float32),
+        interpret=interpret,
+    )(q, k, v, bias, seed)
+
+
+def _bias_bwd_kernel(q_ref, k_ref, v_ref, bias_ref, g_ref, seed_ref,
+                     dq_ref, dk_ref, dv_ref, *, scale, dropout_rate):
+    qi = pl.program_id(2)
+    q, k, v, g = q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], g_ref[0, 0]
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_ref[0]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    probs = e / jnp.sum(e, axis=-1, keepdims=True)
+    dprobs = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    if dropout_rate > 0.0:
+        keep = _dropout_keep(seed_ref[0, 0], pl.program_id(0),
+                             pl.program_id(1), qi, scores.shape, dropout_rate)
+        inv = jnp.where(keep, 1.0 / (1.0 - dropout_rate), 0.0)
+        dprobs = dprobs * inv
+        probs_for_dv = probs * inv
+    else:
+        probs_for_dv = probs
+    dscores = probs * (dprobs - jnp.sum(dprobs * probs, axis=-1,
+                                        keepdims=True)) * scale
+    dq_ref[0, 0] = jnp.dot(dscores, k, preferred_element_type=jnp.float32)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[0, 0] = jnp.zeros_like(dk_ref[0, 0])
+        dv_ref[0, 0] = jnp.zeros_like(dv_ref[0, 0])
+
+    dk_ref[0, 0] += jnp.dot(dscores.T, q, preferred_element_type=jnp.float32)
+    dv_ref[0, 0] += jnp.dot(probs_for_dv.T, g,
+                            preferred_element_type=jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def bias_attention_trainable(q, k, v, bias, seed, scale, block_q=128,
+                             dropout_rate=0.0):
+    """Differentiable fused bias-attention: Pallas forward AND backward.
+    Gradients flow to q, k, v; bias is a constant mask."""
+    return bias_attention(q, k, v, bias, scale=scale, block_q=block_q,
+                          interpret=_relpos_bwd.interpret,
+                          dropout_rate=dropout_rate, seed=seed)
+
+
+def _bias_fwd_rule(q, k, v, bias, seed, scale, block_q, dropout_rate):
+    out = bias_attention(q, k, v, bias, scale=scale, block_q=block_q,
+                         interpret=_relpos_bwd.interpret,
+                         dropout_rate=dropout_rate, seed=seed)
+    seed_arr = jnp.zeros((1, 1), jnp.int32) if seed is None else seed
+    return out, (q, k, v, bias, seed_arr)
+
+
+def _bias_bwd_rule(scale, block_q, dropout_rate, res, g):
+    q, k, v, bias, seed = res
+    b, h, tq, d = q.shape
+    tk = k.shape[2]
+    bq = min(block_q, tq)
+    while tq % bq != 0:
+        bq //= 2
+    bq = max(bq, 1)
+    g = g.astype(jnp.float32)
+
+    kern = functools.partial(_bias_bwd_kernel, scale=scale,
+                             dropout_rate=dropout_rate)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(b, h, tq // bq),  # qi fastest -> dk/dv accumulate over q-blocks
+        in_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, bq, tk), lambda bb, hh, qq: (bb, qq, 0)),
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1), lambda bb, hh, qq: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, bq, d), lambda bb, hh, qq: (bb, hh, qq, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+            pl.BlockSpec((1, 1, tk, d), lambda bb, hh, qq: (bb, hh, 0, 0)),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((b, h, tq, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, tk, d), jnp.float32),
+                   jax.ShapeDtypeStruct((b, h, tk, d), jnp.float32)],
+        interpret=_relpos_bwd.interpret,
+    )(q, k, v, bias, g, seed)
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+bias_attention_trainable.defvjp(_bias_fwd_rule, _bias_bwd_rule)
+
+
+def bias_attention_reference(q, k, v, bias, scale: float):
+    """Direct XLA computation (the path the kernel replaces), for testing."""
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias[:, None]
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
+                      preferred_element_type=jnp.float32)
