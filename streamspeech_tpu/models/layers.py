@@ -271,7 +271,11 @@ class MultiHeadAttention(nn.Module):
 
                 allowed = causal_allowed(s)
             bias = mask_to_bias(allowed, key_valid)
-            if (bias is not None and bias.shape[1] == 1
+            # Route to the fused bias kernel only for a genuine per-query mask
+            # ([*, 1, S, T], e.g. the CTC streaming mask) — a key-valid-only
+            # [B, 1, 1, T] bias materializes no [S,T] tensor under XLA, so the
+            # kernel buys nothing there and the shape would mis-broadcast.
+            if (bias is not None and bias.shape[1] == 1 and bias.shape[-2] == s
                     and (deterministic or pallas_train)
                     and _bias_pallas_ok(s, dh)):
                 out = self._bias_pallas(q, k, v, bias, scale, deterministic)
@@ -316,6 +320,45 @@ class MultiHeadAttention(nn.Module):
             q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
             v.transpose(0, 2, 1, 3), kvb[:, None, :], seed, scale, True,
             128, rate)
+        return out.transpose(0, 2, 1, 3)[:, :s].astype(v.dtype)
+
+    def _bias_pallas(self, q, k, v, bias, scale, deterministic):
+        """Fused arbitrary-bias cross-attention via the Pallas bias_attention
+        kernel (ops/pallas_attention.py) — the unit decoder's CTC-streaming-mask
+        cross-attention at S = mt_len×25 = 1200 (reference
+        researches/ctc_unity/modules/transformer_decoder.py streaming mask).
+
+        q: [B, S, H, Dh]; k/v: [B, T, H, Dh]; bias: [B|1, 1, S, T] additive
+        f32 carrying the whole mask (streaming mask + key validity). Pads S
+        and T to the 128 tile with NEG_INF bias (padded key columns can't be
+        attended; padded query rows are sliced off), fuses attention-prob
+        dropout in training (same Bernoulli(1-p)/(1-p) semantics as
+        nn.Dropout, different RNG stream — the masked/rel-pos kernels'
+        contract). Returns [B, S, H, Dh] in the input dtype."""
+        from streamspeech_tpu.ops.pallas_attention import (
+            bias_attention_trainable,
+        )
+
+        b, s, h, dh = q.shape
+        t = k.shape[1]
+        b3 = jnp.broadcast_to(bias[:, 0], (b, s, t)).astype(jnp.float32)
+        s_pad = -(-s // 128) * 128
+        t_pad = -(-t // 128) * 128
+        if s_pad != s or t_pad != t:
+            b3 = jnp.pad(b3, ((0, 0), (0, s_pad - s), (0, t_pad - t)),
+                         constant_values=NEG_INF)
+            q = jnp.pad(q, ((0, 0), (0, s_pad - s), (0, 0), (0, 0)))
+            k = jnp.pad(k, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+            v = jnp.pad(v, ((0, 0), (0, t_pad - t), (0, 0), (0, 0)))
+        rate = 0.0 if deterministic else float(self.dropout)
+        seed = None
+        if rate > 0.0:
+            seed = jax.random.randint(
+                self.make_rng("dropout"), (1, 1), 0,
+                jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        out = bias_attention_trainable(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), b3, seed, scale, 128, rate)
         return out.transpose(0, 2, 1, 3)[:, :s].astype(v.dtype)
 
     def fill_cross_cache(self, key_value: jnp.ndarray, cache: KVCache) -> KVCache:

@@ -1,0 +1,142 @@
+"""Forced-gate Pallas routing coverage on CPU (VERDICT r4 next #1c, ADVICE r4
+medium): the three TPU-only kernel gates in models/layers.py
+(`_pallas_ok`, `_masked_pallas_ok`, `_bias_pallas_ok`) are monkeypatched to
+True with the kernels in interpret mode, so every kernel ROUTING branch — the
+integration code that only a real TPU would otherwise execute — runs in CI on
+the FULL StreamSpeech model, forward and backward, and is asserted allclose
+against the XLA path.
+
+This is the test that would have caught round 4's shipped
+`AttributeError: _bias_pallas` (layers.py:277 called a method that didn't
+exist; the gate fired only on backend=="tpu" at S>=512 so the CPU suite was
+green while every real-model TPU forward crashed — BENCH_r04 rc=1).
+
+Dropout stays 0 / deterministic where required: the Mosaic TPU PRNG has no
+interpret-mode lowering (kernel dropout itself is TPU-tested in
+tests/test_pallas_attention.py::test_*_dropout_tpu).
+"""
+
+import contextlib
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from streamspeech_tpu.models import layers
+from streamspeech_tpu.models.streamspeech import StreamSpeechModel, init_params
+from streamspeech_tpu.ops import pallas_attention as pa
+from streamspeech_tpu.train.synthetic import synthetic_batch, tiny_config
+
+
+@contextlib.contextmanager
+def forced_gates():
+    """Force all three kernel routes on + interpret-mode kernels; count route
+    hits so the parity assertions can't go vacuous."""
+    hits = {"relpos": 0, "masked": 0, "bias": 0}
+    saved = (layers._pallas_ok, layers._masked_pallas_ok,
+             layers._bias_pallas_ok, pa._relpos_bwd.interpret,
+             pa.relpos_attention_trainable, pa.masked_attention_trainable,
+             pa.bias_attention_trainable)
+
+    def counted(name, fn):
+        def wrapper(*a, **kw):
+            hits[name] += 1
+            return fn(*a, **kw)
+        return wrapper
+
+    layers._pallas_ok = lambda t, dh: True
+    layers._masked_pallas_ok = lambda t, dh: True
+    layers._bias_pallas_ok = lambda s, dh: True
+    pa._relpos_bwd.interpret = True
+    pa.relpos_attention_trainable = counted("relpos",
+                                            pa.relpos_attention_trainable)
+    pa.masked_attention_trainable = counted("masked",
+                                            pa.masked_attention_trainable)
+    pa.bias_attention_trainable = counted("bias", pa.bias_attention_trainable)
+    try:
+        yield hits
+    finally:
+        (layers._pallas_ok, layers._masked_pallas_ok, layers._bias_pallas_ok,
+         pa._relpos_bwd.interpret, pa.relpos_attention_trainable,
+         pa.masked_attention_trainable, pa.bias_attention_trainable) = saved
+
+
+def _build():
+    # upsample 25 like the real recipe is overkill for CPU interpret mode;
+    # 4 still gives a per-query [B, S=mt*4, T] streaming bias → bias route.
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg, batch=2, frames=64, mt_len=8)
+    return cfg, model, variables, batch
+
+
+def _forward(model, variables, batch):
+    return model.apply(
+        variables, jnp.asarray(batch["src_tokens"]),
+        jnp.asarray(batch["src_lengths"]),
+        jnp.asarray(batch["prev_output_tokens_mt"]),
+        chunk_size=4, conv_chunk_size=8, streaming=True)
+
+
+def test_forced_routes_full_forward_matches_xla():
+    """Full streaming forward with every Pallas route forced: encoder rel-pos
+    self-attn, MT-decoder causal self-attn, unit-decoder streaming-mask
+    cross-attn. Outputs must match the XLA path (fp32, atol 2e-4 — interpret
+    kernels compute f32 like the XLA path; tiny residual diff from padded
+    softmax tiles)."""
+    _, model, variables, batch = _build()
+    ref = _forward(model, variables, batch)
+    with forced_gates() as hits:
+        got = _forward(model, variables, batch)
+    assert hits["relpos"] > 0, "rel-pos route never taken (vacuous)"
+    assert hits["masked"] > 0, "causal masked route never taken (vacuous)"
+    assert hits["bias"] > 0, "bias route never taken (vacuous)"
+    for key in ("encoder_out", "asr_logits", "st_logits", "mt_logits",
+                "unit_logits"):
+        np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
+                                   atol=2e-4, err_msg=key)
+
+
+def test_forced_routes_full_grad_matches_xla(monkeypatch):
+    """Forward+backward through every forced route (STREAMSPEECH_PALLAS_TRAIN
+    path with deterministic=False but all dropout rates 0, matching how the
+    trainable kernels are entered in real Pallas training) vs XLA autodiff.
+    Exercises every custom_vjp backward inside the full model."""
+    monkeypatch.setenv("STREAMSPEECH_PALLAS_TRAIN", "1")
+    cfg, model, variables, batch = _build()
+
+    # zero every dropout so the non-deterministic path needs no Mosaic PRNG
+    for sub in (cfg.encoder, cfg.mt_decoder, cfg.unit_decoder):
+        sub.dropout = 0.0
+        if hasattr(sub, "attention_dropout"):
+            sub.attention_dropout = 0.0
+        if hasattr(sub, "activation_dropout"):
+            sub.activation_dropout = 0.0
+    model = StreamSpeechModel(cfg)
+
+    def loss_fn(params, other):
+        out = model.apply(
+            {"params": params, **other}, jnp.asarray(batch["src_tokens"]),
+            jnp.asarray(batch["src_lengths"]),
+            jnp.asarray(batch["prev_output_tokens_mt"]),
+            chunk_size=4, conv_chunk_size=8, streaming=True,
+            deterministic=False, rngs={"dropout": jax.random.PRNGKey(1)})
+        return (jnp.mean(out["unit_logits"] ** 2)
+                + jnp.mean(out["mt_logits"] ** 2)
+                + jnp.mean(out["asr_logits"] ** 2))
+
+    params = variables["params"]
+    other = {k: v for k, v in variables.items() if k != "params"}
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, other)
+    with forced_gates() as hits:
+        got_loss, got_grads = jax.value_and_grad(loss_fn)(params, other)
+    assert hits["bias"] > 0 and hits["masked"] > 0 and hits["relpos"] > 0
+    np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
+    flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
+    flat_got = jax.tree.leaves(got_grads)
+    assert len(flat_ref) == len(flat_got)
+    for (path, r), g in zip(flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), atol=5e-4,
+            err_msg=jax.tree_util.keystr(path))

@@ -213,6 +213,168 @@ def test_mha_causal_flag_matches_explicit_mask():
     np.testing.assert_array_equal(np.asarray(old), np.asarray(new))
 
 
+# ---------------------------------------------------------------------------
+# arbitrary-bias cross-attention kernel (the unit decoder's CTC-streaming-mask
+# cross-attention at S=1200; VERDICT r4 weak #2 — previously untested)
+# ---------------------------------------------------------------------------
+
+
+def _bias_inputs(b=2, h=3, tq=96, tk=64, d=16, seed=0):
+    rng = np.random.RandomState(seed)
+    q = jnp.asarray(rng.randn(b, h, tq, d), jnp.float32)
+    k = jnp.asarray(rng.randn(b, h, tk, d), jnp.float32)
+    v = jnp.asarray(rng.randn(b, h, tk, d), jnp.float32)
+    # streaming-like monotone step mask + per-example key-length padding
+    allowed = rng.rand(b, tq, tk) < 0.7
+    allowed[:, :, 0] = True  # no fully-masked query rows
+    allowed[0, :, 48:] = False  # example 0 only sees 48 keys (padding)
+    bias = jnp.where(jnp.asarray(allowed), 0.0, -1e9).astype(jnp.float32)
+    return q, k, v, bias
+
+
+def test_bias_kernel_matches_reference():
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    q, k, v, bias = _bias_inputs()
+    ref = pa.bias_attention_reference(q, k, v, bias, scale=0.25)
+    got = pa.bias_attention(q, k, v, bias, scale=0.25, block_q=32,
+                            interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+
+def test_bias_kernel_block_sizes_agree():
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    q, k, v, bias = _bias_inputs(seed=1)
+    a = pa.bias_attention(q, k, v, bias, scale=0.25, block_q=16,
+                          interpret=True)
+    b_ = pa.bias_attention(q, k, v, bias, scale=0.25, block_q=96,
+                           interpret=True)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-5)
+
+
+def test_bias_kernel_gradients():
+    """Custom-vjp backward (dq/dk/dv; bias is a constant) vs XLA autodiff of
+    the reference — interpret mode, multiple q-blocks so dk/dv accumulation
+    across the grid is exercised."""
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    old = pa._relpos_bwd.interpret
+    pa._relpos_bwd.interpret = True
+    try:
+        q, k, v, bias = _bias_inputs(seed=2)
+        seed = jnp.zeros((1, 1), jnp.int32)
+        g = jnp.asarray(np.random.RandomState(3).randn(*q.shape), jnp.float32)
+        gp = jax.grad(
+            lambda *a: jnp.vdot(g, pa.bias_attention_trainable(
+                *a, bias, seed, 0.25, 32, 0.0)),
+            argnums=(0, 1, 2))(q, k, v)
+        gr = jax.grad(
+            lambda *a: jnp.vdot(g, pa.bias_attention_reference(
+                *a, bias, 0.25)),
+            argnums=(0, 1, 2))(q, k, v)
+        for name, a_, b_ in zip("qkv", gp, gr):
+            np.testing.assert_allclose(np.asarray(a_), np.asarray(b_),
+                                       atol=5e-5, err_msg=name)
+    finally:
+        pa._relpos_bwd.interpret = old
+
+
+def test_bias_dropout_tpu():
+    """Fused dropout in the bias kernel: deterministic per seed, different
+    across seeds, rate=0 == no-dropout. TPU-only (Mosaic PRNG)."""
+    import pytest
+
+    if jax.default_backend() != "tpu":
+        pytest.skip("in-kernel dropout needs the TPU PRNG")
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    q, k, v, bias = _bias_inputs(tq=256, tk=128, seed=4)
+    seed = jnp.array([[77]], jnp.int32)
+    f = lambda sd, r: pa.bias_attention_trainable(q, k, v, bias, sd, 0.25,
+                                                  128, r)
+    o1, o2 = f(seed, 0.1), f(seed, 0.1)
+    np.testing.assert_array_equal(np.asarray(o1), np.asarray(o2))
+    assert not np.allclose(np.asarray(o1),
+                           np.asarray(f(jnp.array([[5]], jnp.int32), 0.1)))
+    np.testing.assert_allclose(
+        np.asarray(f(seed, 0.0)),
+        np.asarray(pa.bias_attention(q, k, v, bias, scale=0.25)), atol=1e-6)
+
+
+def test_mha_bias_pallas_matches_xla():
+    """MultiHeadAttention._bias_pallas (the r4 crash site, layers.py:277) vs
+    the explicit XLA _attend path: gates forced on, kernels in interpret mode,
+    odd S/T to exercise the 128-tile padding, per-example [B,S,T] streaming
+    mask + key_valid, and a batch-1 shared [S,T] mask (broadcast leg)."""
+    from streamspeech_tpu.models import layers
+    from streamspeech_tpu.ops import pallas_attention as pa
+    from streamspeech_tpu.ops.masks import lengths_to_mask
+
+    rng = np.random.RandomState(5)
+    b, s, t, c = 2, 37, 20, 16
+    xq = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    xkv = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    allowed = rng.rand(b, s, t) < 0.6
+    allowed[:, :, 0] = True
+    allowed = jnp.asarray(allowed)
+    key_valid = lengths_to_mask(jnp.array([15, 20]), t)
+    mha = layers.MultiHeadAttention(embed_dim=c, num_heads=4)
+    vs = mha.init(jax.random.PRNGKey(0), xq, xkv)
+    ref, _ = mha.apply(vs, xq, xkv, allowed, key_valid)
+
+    calls = []
+    orig = pa.bias_attention_trainable
+    old_ok, old_interp = layers._bias_pallas_ok, pa._relpos_bwd.interpret
+    layers._bias_pallas_ok = lambda s_, dh: True
+    pa._relpos_bwd.interpret = True
+    pa.bias_attention_trainable = lambda *a, **kw: (calls.append(1),
+                                                    orig(*a, **kw))[1]
+    try:
+        got, _ = mha.apply(vs, xq, xkv, allowed, key_valid)
+        # shared [S,T] mask (bias batch dim 1 → broadcast inside _bias_pallas)
+        shared = jnp.asarray(rng.rand(s, t) < 0.6).at[:, 0].set(True)
+        got2, _ = mha.apply(vs, xq, xkv, shared, None)
+    finally:
+        layers._bias_pallas_ok = old_ok
+        pa._relpos_bwd.interpret = old_interp
+        pa.bias_attention_trainable = orig
+    ref2, _ = mha.apply(vs, xq, xkv, shared, None)
+    assert len(calls) == 2, "bias kernel route not taken (vacuous test)"
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got2), np.asarray(ref2), atol=2e-5)
+
+
+def test_mha_keyvalid_only_bias_not_routed():
+    """A key-valid-only [B,1,1,T] bias must NOT route to the bias kernel
+    (ADVICE r4 medium: the S=1 bias would mis-broadcast; XLA materializes no
+    [S,T] mask there anyway) — gate requires bias.shape[-2] == s."""
+    from streamspeech_tpu.models import layers
+    from streamspeech_tpu.ops.masks import lengths_to_mask
+
+    rng = np.random.RandomState(6)
+    b, s, t, c = 2, 24, 20, 16
+    xq = jnp.asarray(rng.randn(b, s, c), jnp.float32)
+    xkv = jnp.asarray(rng.randn(b, t, c), jnp.float32)
+    key_valid = lengths_to_mask(jnp.array([15, 20]), t)
+    mha = layers.MultiHeadAttention(embed_dim=c, num_heads=4)
+    vs = mha.init(jax.random.PRNGKey(0), xq, xkv)
+    ref, _ = mha.apply(vs, xq, xkv, None, key_valid)
+
+    old_ok = layers._bias_pallas_ok
+    layers._bias_pallas_ok = lambda s_, dh: True
+    boom = lambda *a, **kw: (_ for _ in ()).throw(
+        AssertionError("key-valid-only bias must not reach _bias_pallas"))
+    old_bp = layers.MultiHeadAttention._bias_pallas
+    layers.MultiHeadAttention._bias_pallas = boom
+    try:
+        got, _ = mha.apply(vs, xq, xkv, None, key_valid)
+    finally:
+        layers._bias_pallas_ok = old_ok
+        layers.MultiHeadAttention._bias_pallas = old_bp
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
 def test_masked_dropout_tpu():
     """Fused dropout in the masked kernel: deterministic per seed, different
     across seeds, rate=0 == no-dropout. TPU-only (Mosaic PRNG)."""
