@@ -75,6 +75,13 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--save-dir", type=str, default="checkpoints")
     p.add_argument("--save-interval-updates", type=int, default=1000)
     p.add_argument("--keep-last", type=int, default=10)
+    p.add_argument("--keep-best-checkpoints", type=int, default=0,
+                   help="also keep the N best checkpoints by validation loss "
+                        "as checkpoint.best_<metric>_<step> (fairseq "
+                        "checkpoint_utils.py:83-104; the reference recipe "
+                        "trains with --keep-best-checkpoints 10)")
+    p.add_argument("--maximize-best-checkpoint-metric", action="store_true",
+                   default=False)
     p.add_argument("--log-interval", type=int, default=100)
     p.add_argument("--validate-interval-updates", type=int, default=1000)
     p.add_argument("--max-valid-batches", type=int, default=50,
@@ -333,6 +340,15 @@ def main(argv=None):
             if val is not None:
                 progress.log({"valid_loss": val}, tag="valid",
                              step=num_updates)
+                if args.save_dir and args.keep_best_checkpoints > 0:
+                    # metric-bearing save at the validation point (fairseq
+                    # ties best-rotation to validate_interval_updates)
+                    save_checkpoint(
+                        args.save_dir, num_updates, state,
+                        config=to_dict(model_cfg), keep_last=args.keep_last,
+                        keep_best=args.keep_best_checkpoints, val_metric=val,
+                        maximize=args.maximize_best_checkpoint_metric)
+                    return
         if args.save_dir and num_updates % args.save_interval_updates == 0:
             save_checkpoint(args.save_dir, num_updates, state,
                             config=to_dict(model_cfg),

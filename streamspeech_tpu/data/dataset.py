@@ -77,12 +77,14 @@ class SpeechToSpeechDataset:
         multitask_targets: Optional[Dict[str, Dict[str, List[int]]]] = None,
         split: str = "train",
         is_features: bool = True,
+        n_frames_per_step: int = 1,
     ):
         self.root = Path(manifest_path).parent
         self.unit_dict = unit_dict
         self.data_cfg = data_cfg
         self.split = split
         self.is_features = is_features
+        self.n_frames_per_step = n_frames_per_step
         self.gcmvn = None
         if data_cfg is not None and data_cfg.global_cmvn_stats_npz and \
                 "global_cmvn" in data_cfg.get_transforms(split):
@@ -101,6 +103,8 @@ class SpeechToSpeechDataset:
                 utt_id = row[col["id"]]
                 units = [unit_dict.index(u)
                          for u in row[col["tgt_audio"]].split()] + [EOS]
+                if n_frames_per_step > 1:
+                    units = self._pack_units(units)
                 item = S2SItem(
                     index=len(self.items), utt_id=utt_id,
                     audio_ref=row[col["src_audio"]],
@@ -111,6 +115,24 @@ class SpeechToSpeechDataset:
                     tgt_text=mt.get("ctc_target_unigram", {}).get(utt_id, []),
                 )
                 self.items.append(item)
+
+    def _pack_units(self, units_with_eos: List[int]) -> List[int]:
+        """Stack n_frames_per_step consecutive unit ids into one packed id
+        (`fairseq/fairseq/data/audio/speech_to_speech_dataset.py:88-104`):
+        the trailing EOS is kept unpacked; each group packs first-unit-most-
+        significant with offset 4 and V = len(dict) - 4. The reference
+        requires the unit count to divide n; real unit streams don't, so the
+        tail group is right-padded by repeating the last unit (documented
+        deviation — the alternative is dropping tail units)."""
+        n = self.n_frames_per_step
+        v = len(self.unit_dict) - 4
+        raw = np.asarray(units_with_eos[:-1], np.int64) - 4
+        rem = (-len(raw)) % n
+        if rem and len(raw):
+            raw = np.concatenate([raw, np.repeat(raw[-1:], rem)])
+        scale = v ** np.arange(n - 1, -1, -1, dtype=np.int64)
+        packed = (raw.reshape(-1, n) * scale).sum(axis=1) + 4
+        return [int(p) for p in packed] + [units_with_eos[-1]]
 
     @classmethod
     def load_multitask_targets(cls, tsv_path: str, dictionary: Dictionary

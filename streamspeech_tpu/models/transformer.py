@@ -48,15 +48,39 @@ def pack_units(units: jnp.ndarray, n_frames_per_step: int, vocab_size: int,
                offset: int = 4) -> jnp.ndarray:
     """Pack n consecutive unit ids into one base-V token id
     (`fairseq/fairseq/data/audio/speech_to_speech_dataset.py:88-104`):
-    packed = offset + Σ_i (u_i - offset) · V^i over each group of n units.
+    packed = offset + Σ_i (u_i - offset) · V^(n-1-i) over each group of n
+    units — the FIRST unit of a group is the most-significant digit
+    (speech_to_speech_dataset.py:96 `scale = V^(n-1-i)`), matching what
+    StackedEmbedding's digit unpack reconstructs in original order.
     units: [..., T] with T divisible by n (pad/truncate beforehand)."""
     if n_frames_per_step <= 1:
         return units
     t = units.shape[-1]
     g = units.reshape(units.shape[:-1] + (t // n_frames_per_step,
                                           n_frames_per_step)) - offset
-    scale = vocab_size ** jnp.arange(n_frames_per_step, dtype=units.dtype)
+    scale = vocab_size ** jnp.arange(n_frames_per_step - 1, -1, -1,
+                                     dtype=units.dtype)
     return jnp.sum(g * scale, axis=-1) + offset
+
+
+def unpack_units(packed: jnp.ndarray, n_frames_per_step: int, vocab_size: int,
+                 offset: int = 4) -> jnp.ndarray:
+    """Inverse of pack_units: packed [..., T] → raw units [..., T*n] in
+    original temporal order (the decode-side step before vocoding — the
+    reference unpacks via StackedEmbedding's digit expansion,
+    `modules/stacked_embedding.py:31-47`). Ids below `offset` (specials)
+    are passed through in every slot, like StackedEmbedding's mask."""
+    if n_frames_per_step <= 1:
+        return packed
+    v = jnp.asarray(vocab_size, packed.dtype)
+    mask = packed >= offset
+    x = packed - offset
+    digits = []
+    for i in range(n_frames_per_step - 1, -1, -1):
+        d = (x // (v ** i)) % v
+        digits.append(jnp.where(mask, d + offset, packed))
+    return jnp.stack(digits, axis=-1).reshape(
+        packed.shape[:-1] + (packed.shape[-1] * n_frames_per_step,))
 
 
 class StackedEmbedding(nn.Module):

@@ -31,7 +31,9 @@ import numpy as np
 
 
 def save_checkpoint(save_dir: str, step: int, state, config: Optional[dict] = None,
-                    keep_last: int = 10) -> str:
+                    keep_last: int = 10, keep_best: int = 0,
+                    val_metric: Optional[float] = None,
+                    maximize: bool = False) -> str:
     import orbax.checkpoint as ocp
     import jax
 
@@ -48,6 +50,8 @@ def save_checkpoint(save_dir: str, step: int, state, config: Optional[dict] = No
     ckptr.save(path, payload, force=True)
     if config is not None:
         (d / "config.json").write_text(json.dumps(config, indent=2))
+    if keep_best > 0 and val_metric is not None:
+        _rotate_best(d, path, step, float(val_metric), keep_best, maximize)
     # rotation: keep the newest `keep_last` checkpoints
     ckpts = sorted(d.glob("checkpoint_*"),
                    key=lambda p: int(p.name.split("_")[-1]))
@@ -55,6 +59,63 @@ def save_checkpoint(save_dir: str, step: int, state, config: Optional[dict] = No
         import shutil
         shutil.rmtree(old, ignore_errors=True)
     return str(path)
+
+
+_BEST_RE = re.compile(r"checkpoint\.best_(-?[0-9.]+(?:e-?\d+)?)_(\d+)$")
+
+
+def _rotate_best(d: Path, src: Path, step: int, val: float, keep_best: int,
+                 maximize: bool) -> None:
+    """`--keep-best-checkpoints` metric rotation, semantics of fairseq
+    `checkpoint_utils.py:83-104` + `:112-127` (used by the reference recipe
+    `researches/ctc_unity/train_scripts/train.simul-s2st.sh:23-33`): a new
+    checkpoint is copied to checkpoint.best_<metric>_<step> only when its
+    validation metric beats the current WORST kept best (or fewer than N are
+    kept), then everything beyond the N best is removed. Copies are hardlink
+    trees (the orbax array files are immutable once written), so a kept best
+    costs directory entries, not storage."""
+    import os
+    import shutil
+
+    best = []
+    for p in d.glob("checkpoint.best_*"):
+        m = _BEST_RE.match(p.name)
+        if m:
+            best.append((float(m.group(1)), int(m.group(2)), p))
+
+    def better(a: float, b: float) -> bool:
+        return a >= b if maximize else a <= b
+
+    if best:
+        worst = (min if maximize else max)(b[0] for b in best)
+        if len(best) >= keep_best and not better(val, worst):
+            return
+    dst = d / f"checkpoint.best_{val:.4f}_{step}"
+    if not dst.exists():
+        shutil.copytree(src, dst, copy_function=os.link)
+        best.append((val, step, dst))
+    # prune: keep the N best by metric (ties: prefer the newer step, like the
+    # reference's random tiebreak suffix keeps later saves distinct)
+    best.sort(key=lambda t: (-t[0] if maximize else t[0], -t[1]))
+    for _, _, p in best[keep_best:]:
+        shutil.rmtree(p, ignore_errors=True)
+
+
+def best_checkpoint(save_dir: str, maximize: bool = False) -> Optional[str]:
+    """Path of the best kept checkpoint from the --keep-best-checkpoints
+    rotation (the analogue of fairseq's checkpoint_best.pt), or None."""
+    d = Path(save_dir)
+    if not d.exists():
+        return None
+    best = []
+    for p in d.glob("checkpoint.best_*"):
+        m = _BEST_RE.match(p.name)
+        if m:
+            best.append((float(m.group(1)), int(m.group(2)), p))
+    if not best:
+        return None
+    best.sort(key=lambda t: (-t[0] if maximize else t[0], -t[1]))
+    return str(best[0][2])
 
 
 def latest_checkpoint(save_dir: str) -> Optional[str]:

@@ -39,6 +39,42 @@ def test_orbax_roundtrip_and_rotation(tmp_path):
     tree_equal(restored["params"], state.params)
 
 
+def test_keep_best_rotation(tmp_path):
+    """--keep-best-checkpoints semantics (fairseq checkpoint_utils.py:83-104):
+    copy in only when better than the worst kept best (or fewer than N kept),
+    prune beyond N, best_checkpoint() returns the winner, restore works."""
+    from streamspeech_tpu.train.checkpoint import best_checkpoint
+
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizationConfig(update_freq=1))
+    state = TrainState.create(variables, tx)
+
+    # val-loss trajectory: 0.9, 0.5, 0.7 (kept, replaces nothing yet), then
+    # 0.8 is WORSE than both kept -> not copied; 0.4 evicts 0.7
+    for step, val in [(1, 0.9), (2, 0.5), (3, 0.7), (4, 0.8), (5, 0.4)]:
+        save_checkpoint(str(tmp_path), step, state, keep_last=10,
+                        keep_best=2, val_metric=val)
+    best = sorted(p.name for p in tmp_path.glob("checkpoint.best_*"))
+    assert best == ["checkpoint.best_0.4000_5", "checkpoint.best_0.5000_2"], best
+    assert best_checkpoint(str(tmp_path)).endswith("checkpoint.best_0.4000_5")
+    # best copies don't disturb the recency rotation / latest_checkpoint
+    assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_5")
+    restored = load_checkpoint(best_checkpoint(str(tmp_path)), target=state)
+    tree_equal(restored["params"], state.params)
+
+    # maximize mode (e.g. BLEU): higher wins
+    d2 = tmp_path / "max"
+    for step, val in [(1, 10.0), (2, 30.0), (3, 20.0), (4, 5.0)]:
+        save_checkpoint(str(d2), step, state, keep_last=10, keep_best=2,
+                        val_metric=val, maximize=True)
+    best = sorted(p.name for p in d2.glob("checkpoint.best_*"))
+    assert best == ["checkpoint.best_20.0000_3", "checkpoint.best_30.0000_2"]
+    assert best_checkpoint(str(d2), maximize=True).endswith(
+        "checkpoint.best_30.0000_2")
+
+
 def torchify(sd):
     import torch
 

@@ -66,3 +66,37 @@ def test_dataset_collation(tmp_path):
     assert batch["prev_output_tokens_mt"][0, 0] == 2  # eos-prefixed
     assert batch["target_units"].shape[1] == 11  # 10 units + eos
     assert (batch["target_unit_lengths"] == 11).all()
+
+
+def test_dataset_stacked_units(tmp_path):
+    """n_frames_per_step > 1 packs target units at load
+    (speech_to_speech_dataset.py:88 pack_units): first-unit-most-significant
+    base-V digits, EOS kept unpacked, and unpack_units inverts it."""
+    from streamspeech_tpu.models.transformer import unpack_units
+
+    make_manifest(tmp_path)
+    unit_dict = Dictionary.units(100)
+    unit_dict.add_blank()
+    raw_ds = SpeechToSpeechDataset(str(tmp_path / "train.tsv"), unit_dict)
+    ds2 = SpeechToSpeechDataset(str(tmp_path / "train.tsv"), unit_dict,
+                                n_frames_per_step=2)
+    v = len(unit_dict) - 4
+    for it_raw, it_p in zip(raw_ds.items, ds2.items):
+        raw = np.asarray(it_raw.units[:-1]) - 4     # 10 units, even count
+        packed = np.asarray(it_p.units)
+        assert packed[-1] == it_raw.units[-1]        # EOS preserved
+        assert len(packed) == 6                       # 5 packed + eos
+        expect = raw.reshape(-1, 2)[:, 0] * v + raw.reshape(-1, 2)[:, 1] + 4
+        assert packed[:-1].tolist() == expect.tolist()
+        # decode side: unpack restores the original unit stream
+        import jax.numpy as jnp
+        un = unpack_units(jnp.asarray(packed[:-1]), 2, v)
+        assert np.asarray(un).tolist() == (raw + 4).tolist()
+    # odd tail: 3 raw units with n=2 -> tail padded by repeating the last
+    (tmp_path / "odd.tsv").write_text(
+        "id\tsrc_audio\tsrc_n_frames\ttgt_audio\ttgt_n_frames\n"
+        "utt0\tutt0.npy\t40\t7 8 9\t3")
+    ds3 = SpeechToSpeechDataset(str(tmp_path / "odd.tsv"), unit_dict,
+                                n_frames_per_step=2)
+    p = np.asarray(ds3.items[0].units)
+    assert p.tolist() == [7 * v + 8 + 4, 9 * v + 9 + 4, 2]

@@ -69,22 +69,38 @@ def test_arch_registry_builds_models():
 
 
 def test_stacked_embedding_and_pack_units():
-    from streamspeech_tpu.models.transformer import StackedEmbedding, pack_units
+    from streamspeech_tpu.models.transformer import (
+        StackedEmbedding,
+        pack_units,
+        unpack_units,
+    )
 
     v, n = 10, 2
     units = jnp.asarray([[4, 5, 6, 7]], jnp.int32)  # raw units 0,1,2,3
     packed = pack_units(units, n, v)
-    # groups (0,1) and (2,3): 0 + 1*10 + 4 = 14; 2 + 3*10 + 4 = 36
-    assert np.asarray(packed).tolist() == [[14, 36]]
+    # reference digit order (speech_to_speech_dataset.py:96, scale=V^(n-1-i)):
+    # the FIRST unit is most significant. groups (0,1),(2,3): 0*10+1+4=5,
+    # 2*10+3+4=27
+    assert np.asarray(packed).tolist() == [[5, 27]]
+    # unpack (decode-side, pre-vocoder) inverts pack in original order
+    assert np.asarray(unpack_units(packed, n, v)).tolist() == \
+        np.asarray(units).tolist()
+    # specials below offset pass through every slot (StackedEmbedding mask)
+    sp = unpack_units(jnp.asarray([[2, 27]], jnp.int32), n, v)
+    assert np.asarray(sp).tolist() == [[2, 2, 6, 7]]
 
     emb = StackedEmbedding(num_embeddings=v + 4, embed_dim=8, num_stacked=n)
     variables = emb.init(jax.random.PRNGKey(0), packed)
     out = emb.apply(variables, packed)
     assert out.shape == (1, 2, 8)
-    # digit decode consistency: packing (u, u) yields same digits both slots
-    same = pack_units(jnp.asarray([[7, 7]], jnp.int32), n, v)
-    out2 = emb.apply(variables, same)
-    assert np.isfinite(np.asarray(out2)).all()
+    # StackedEmbedding digit decode agrees with pack: embedding the packed id
+    # equals concat(table[first], table[second]) @ W for each group
+    table = variables["params"]["embedding"]
+    w = variables["params"]["project_in_dim"]["kernel"]
+    man = np.concatenate([np.asarray(table)[np.asarray(units)[0, ::2]],
+                          np.asarray(table)[np.asarray(units)[0, 1::2]]],
+                         axis=-1) @ np.asarray(w)
+    np.testing.assert_allclose(np.asarray(out)[0], man, atol=1e-6)
 
 
 def test_unit_decoder_n_frames_per_step():
