@@ -212,6 +212,19 @@ def profile_row(name, batch, frames, k, args, **build_kw):
         # flops) — the K-step block's numbers ARE the per-step numbers
         flops = float(cost.get("flops", 0.0)) or None
         bytes_acc = float(cost.get("bytes accessed", 0.0)) or None
+        # XLA cost analysis counts tpu_custom_call (the Pallas kernels) as
+        # ZERO flops — add the kernels' executed matmul FLOPs analytically
+        # (benchmarks.pallas_train_flops mirrors the layers.py routing gates,
+        # which also honor the STREAMSPEECH_DISABLE_PALLAS_* ablation envs,
+        # so ablation rows count only the kernels they actually run).
+        if flops:
+            from streamspeech_tpu.train.synthetic import full_config
+
+            pallas_f = bm.pallas_train_flops(
+                full_config(), batch, frames, args.mt_len,
+                train=build_kw.get("mode", "full") != "fwd-only")
+            if pallas_f:
+                flops += pallas_f
     except Exception:
         import traceback
 

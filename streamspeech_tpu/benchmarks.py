@@ -51,6 +51,41 @@ def chip_peak_flops() -> Optional[float]:
     return None
 
 
+def pallas_train_flops(cfg, batch: int, frames: int, mt_len: int,
+                       train: bool = True) -> float:
+    """Analytic matmul FLOPs executed by the Pallas attention kernels in ONE
+    train step (fwd+bwd) at the bench shape — XLA's cost analysis counts the
+    tpu_custom_call ops as zero, so MFU computed from cost.flops alone FALLS
+    as more attention moves into kernels. Mirrors the routing gates in
+    models/layers.py (`_pallas_ok`, `_masked_pallas_ok`, `_bias_pallas_ok`)
+    for the three training-path routes: encoder rel-pos self-attention,
+    unit-decoder causal self-attention at T = mt_len × upsample, and
+    unit-decoder streaming-mask cross-attention over the T2U states.
+    KEEP IN SYNC with layers.py routing; per-kernel counts live beside the
+    kernels (ops/pallas_attention.py relpos_flops/masked_flops/bias_flops)."""
+    from streamspeech_tpu.models import layers as L
+    from streamspeech_tpu.ops import pallas_attention as pa
+
+    total = 0.0
+    up = lambda x: -(-x // 128) * 128
+    e = cfg.encoder
+    t_enc = ((frames - 1) // 2) // 2 + 1       # two stride-2 subsample convs
+    dh = e.embed_dim // e.attention_heads
+    if L._pallas_ok(t_enc, dh):
+        total += e.layers * pa.relpos_flops(batch, e.attention_heads, t_enc,
+                                            dh, train=train)
+    u = cfg.unit_decoder
+    t_up = mt_len * u.ctc_upsample_rate
+    dh_u = u.embed_dim // u.attention_heads
+    if L._masked_pallas_ok(t_up, dh_u):
+        total += u.layers * pa.masked_flops(batch, u.attention_heads,
+                                            up(t_up), dh_u, train=train)
+    if L._bias_pallas_ok(t_up, dh_u):
+        total += u.layers * pa.bias_flops(batch, u.attention_heads, up(t_up),
+                                          up(mt_len), dh_u, train=train)
+    return total
+
+
 def retry_compile(fn, attempts: int = 3, backoff_s: float = 10.0,
                   label: str = ""):
     """Run a compile-bearing callable with bounded retries.
@@ -222,6 +257,7 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
         float(jax.device_get(metrics["loss_mean"]))
 
         flops = None
+        xla_flops = None
         pallas_calls = None
         try:
             low = step.lower(state, b, rng, chunk_size=8, conv_chunk_size=8)
@@ -240,7 +276,16 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
                 cost = low.compile().cost_analysis()
             if isinstance(cost, (list, tuple)):
                 cost = cost[0]
-            flops = float(cost.get("flops", 0.0)) or None
+            xla_flops = float(cost.get("flops", 0.0)) or None
+            flops = xla_flops
+            # XLA cost analysis reports the Pallas custom calls as ZERO flops,
+            # so the raw count understates the step's work exactly when the
+            # kernels are on (and the naive MFU *drops* as kernels get faster
+            # — the r4→r5 train_step_tflops regression artifact). Add the
+            # kernels' executed matmul FLOPs, counted analytically from the
+            # kernel bodies (ops/pallas_attention.py *_flops).
+            if flops and pallas:
+                flops = flops + pallas_train_flops(cfg, batch, frames, mt_len)
         except Exception:
             flops = None
 
@@ -282,6 +327,9 @@ def measure_train_step(batch: int = 8, frames: int = 1024, mt_len: int = 48,
         if flops and peak:
             out["train_mfu_dispatch"] = flops / dt_disp / peak
             out["train_step_tflops"] = flops / 1e12
+            if xla_flops and xla_flops != flops:
+                # transparency: the XLA-counted share (kernel FLOPs excluded)
+                out["train_step_tflops_xla"] = xla_flops / 1e12
 
         # device-truth number: K steps per dispatch through the scanned block
         # step (trainer.make_train_step_scan / cli.train --steps-per-call) —

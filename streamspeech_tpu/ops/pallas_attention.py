@@ -749,6 +749,72 @@ def _bias_bwd_rule(scale, block_q, dropout_rate, res, g):
 bias_attention_trainable.defvjp(_bias_fwd_rule, _bias_bwd_rule)
 
 
+# ---------------------------------------------------------------------------
+# Analytic FLOP counts. XLA's cost analysis reports tpu_custom_call as ZERO
+# flops, so a step that routes attention through these kernels under-counts
+# its work and the naive MFU = xla_flops/time/peak falls as the kernels get
+# better (BENCH_r04→r05 regression artifact). These count 2·M·K·N per jnp.dot
+# actually executed by the kernels above — grid cells × the dots in each
+# kernel body — so benchmarks can report MFU over the true executed matmul
+# FLOPs. Keep in sync with the kernel bodies (each term is annotated).
+# ---------------------------------------------------------------------------
+
+
+def _eff_block_q(t: int, block_q: int) -> int:
+    bq = min(block_q, t)
+    while t % bq != 0:
+        bq //= 2
+    return max(bq, 1)
+
+
+def relpos_flops(b: int, h: int, t: int, d: int, block_q: int = 128,
+                 train: bool = True) -> float:
+    """Executed matmul FLOPs of relpos_attention (+ its backward kernels when
+    train=True) at q/k/v [B,H,T,D]."""
+    bq = _eff_block_q(t, block_q)
+    nq = t // bq
+    w = _round_up(t + bq - 1, 128)
+    mm = lambda m, k_, n: 2.0 * m * k_ * n
+    fwd = mm(bq, d, t) + mm(bq, d, w) + mm(bq, t, d)   # ac, band, probs@v
+    total = fwd
+    if train:
+        recompute = mm(bq, d, t) + mm(bq, d, w) + mm(bq, d, t)  # ac, band, dprobs
+        unshear = 2 * mm(bq, bq, w)                             # two exch dots
+        bwd_a = recompute + unshear + mm(bq, t, d) * 3 + mm(bq, w, d)
+        # dqu, dk, dv are t-shaped; dqv is w-shaped
+        bwd_p = recompute + unshear + mm(bq, w, d)              # dp
+        total += bwd_a + bwd_p
+    return float(b * h * nq) * total
+
+
+def masked_flops(b: int, h: int, t_padded: int, d: int, block_q: int = 128,
+                 train: bool = True) -> float:
+    """Executed matmul FLOPs of masked_attention (+ backward) at the PADDED
+    T (masked_attention_trainable's caller pads T to the 128 tile)."""
+    bq = _eff_block_q(t_padded, block_q)
+    nq = t_padded // bq
+    mm = 2.0 * bq * t_padded * d
+    fwd = 2 * mm                       # scores, probs@v
+    total = fwd
+    if train:
+        total += 5 * mm                # recompute, dprobs, dq, dk, dv
+    return float(b * h * nq) * total
+
+
+def bias_flops(b: int, h: int, tq_padded: int, tk_padded: int, d: int,
+               block_q: int = 128, train: bool = True) -> float:
+    """Executed matmul FLOPs of bias_attention (+ backward) at the PADDED
+    query/key lengths (MultiHeadAttention._bias_pallas pads both to 128)."""
+    bq = _eff_block_q(tq_padded, block_q)
+    nq = tq_padded // bq
+    mm = 2.0 * bq * tk_padded * d
+    fwd = 2 * mm                       # scores, probs@v
+    total = fwd
+    if train:
+        total += 5 * mm                # recompute, dprobs, dq, dk, dv
+    return float(b * h * nq) * total
+
+
 def bias_attention_reference(q, k, v, bias, scale: float):
     """Direct XLA computation (the path the kernel replaces), for testing."""
     scores = jnp.einsum("bhsd,bhtd->bhst", q, k,

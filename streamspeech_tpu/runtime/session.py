@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from streamspeech_tpu.models.layers import KVCache
+from streamspeech_tpu.runtime.aot import aot_jit
 from streamspeech_tpu.models.streamspeech import StreamSpeechModel
 from streamspeech_tpu.models.vocoder import CodeGenerator
 from streamspeech_tpu.ops.ctc import ctc_collapse
@@ -82,7 +83,7 @@ class StreamSpeechEngine:
                               - self.emit_ctx_frames) * 320
         c = model.cfg
 
-        @functools.partial(jax.jit, static_argnames=("chunk", "conv_chunk"),
+        @functools.partial(aot_jit, static_argnames=("chunk", "conv_chunk"),
                            donate_argnums=(2, 3))  # state + enc_buf buffers are
         # consumed and rewritten every chunk — donation avoids copying the
         # 12-layer KV caches per block
@@ -114,7 +115,7 @@ class StreamSpeechEngine:
 
         self._mt_step = mt_step
 
-        @functools.partial(jax.jit, static_argnames=("max_steps",))
+        @functools.partial(aot_jit, static_argnames=("max_steps",))
         def mt_decode_greedy(variables, first, offset, budget, self_caches,
                              cross_caches, max_steps, cross_valid=None):
             return model.apply(variables, first, offset, budget, self_caches,
@@ -129,7 +130,7 @@ class StreamSpeechEngine:
         # (1-4 tokens); larger budgets fall back to the host loop (exact)
         self.fused_steps = 8
 
-        @functools.partial(jax.jit, static_argnames=())
+        @aot_jit
         def synthesize(variables, mt_tokens, enc_buf, enc_len):
             ids, logits = model.apply(variables, mt_tokens, enc_buf, enc_len,
                                       method=StreamSpeechModel.synthesize_units)
@@ -138,7 +139,7 @@ class StreamSpeechEngine:
         self._synthesize = synthesize
 
         if vocoder is not None:
-            @functools.partial(jax.jit, static_argnames=("max_frames",))
+            @functools.partial(aot_jit, static_argnames=("max_frames",))
             def vocode(voc_vars, codes, dur_mask, max_frames):
                 dur = vocoder.apply(voc_vars, codes,
                                     method=CodeGenerator.predict_durations)
@@ -152,7 +153,7 @@ class StreamSpeechEngine:
             unit_blank = model.cfg.unit_decoder.vocab_size - 1
             nspecial = 4
 
-            @functools.partial(jax.jit,
+            @functools.partial(aot_jit,
                                static_argnames=("valid_tokens_cap",
                                                 "max_frames"))
             def emit(variables, voc_vars, mt_tokens, enc_buf, enc_len,
@@ -190,7 +191,7 @@ class StreamSpeechEngine:
 
             self._emit = emit
 
-            @functools.partial(jax.jit,
+            @functools.partial(aot_jit,
                                static_argnames=("valid_tokens_cap",
                                                 "unit_capacity",
                                                 "window_frames", "ctx_frames",
@@ -241,7 +242,7 @@ class StreamSpeechEngine:
 
             self._emit_tail = emit_tail
 
-            @functools.partial(jax.jit,
+            @functools.partial(aot_jit,
                                static_argnames=("valid_tokens_cap",
                                                 "max_frames"))
             def emit_batched(variables, voc_vars, mt_tokens, enc_buf, enc_len,
@@ -279,7 +280,7 @@ class StreamSpeechEngine:
 
             self._emit_batched = emit_batched
 
-            @functools.partial(jax.jit,
+            @functools.partial(aot_jit,
                                static_argnames=("valid_tokens_cap",
                                                 "unit_capacity",
                                                 "window_frames", "ctx_frames",
@@ -503,7 +504,7 @@ class StreamSpeechEngine:
                         flags, grew, do_emit, ok)
 
             @functools.partial(
-                jax.jit,
+                aot_jit,
                 static_argnames=("chunk", "conv_chunk", "finished",
                                  "whole_word", "k1", "n", "steps", "mt_cap",
                                  "unit_capacity", "window_frames",
@@ -531,7 +532,7 @@ class StreamSpeechEngine:
             self._policy_step = policy_step
 
             @functools.partial(
-                jax.jit,
+                aot_jit,
                 static_argnames=("chunk", "conv_chunk", "whole_word", "k1",
                                  "n", "steps", "mt_cap", "unit_capacity",
                                  "window_frames", "ctx_frames", "tail_cap",
@@ -602,7 +603,7 @@ class StreamSpeechEngine:
             self._pipe_pack = pipe_pack
 
             @functools.partial(
-                jax.jit,
+                aot_jit,
                 static_argnames=("chunk", "conv_chunk", "whole_word", "k1",
                                  "n", "steps", "mt_cap", "unit_capacity",
                                  "window_frames", "ctx_frames", "tail_cap",
