@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--upsample", type=int, default=8)
     ap.add_argument("--n-dev", type=int, default=24)
     ap.add_argument("--workdir", default="/tmp/golden_learn")
+    ap.add_argument("--device", choices=("cpu", "tpu"), default="cpu",
+                    help="tpu = run train+eval subprocesses on the real "
+                    "chip (bf16 compute, Pallas training path) — the "
+                    "TPU-numerics twin of the CPU golden")
     ap.add_argument("--write-doc", action="store_true",
                     help="write docs/golden_learnability.md")
     args = ap.parse_args()
@@ -36,7 +40,8 @@ def main():
     os.environ.pop("XLA_FLAGS", None)
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
+    if args.device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
 
     from streamspeech_tpu.data.toy_task import run_learnability_golden
 
@@ -44,7 +49,9 @@ def main():
     res = run_learnability_golden(args.workdir, max_update=args.max_update,
                                   n_train=args.n_train, n_dev=args.n_dev,
                                   lr=args.lr, upsample=args.upsample,
-                                  dropout=args.dropout, verbose=True)
+                                  dropout=args.dropout, verbose=True,
+                                  device=args.device)
+    res["device"] = args.device
     res["max_update"] = args.max_update
     res["wall_s"] = round(time.perf_counter() - t0, 1)
     print(json.dumps(res))
@@ -60,6 +67,24 @@ def main():
             bleu = s.get("BLEU", float("nan"))
             return (f"| {name} | {s['unit_edit_rate']:.3f} | "
                     f"{s['text_token_acc']:.3f} | {bleu:.1f} | {al:.0f} |")
+
+        if args.device == "tpu":
+            # append the TPU-numerics twin beside the CPU table (VERDICT r4
+            # Next #6) instead of overwriting the canonical CPU doc
+            with open(doc, "a") as f:
+                f.write(f"""
+## TPU run (same thresholds — bf16 compute, Pallas training path)
+
+`python scripts/golden_learnability.py --device tpu --write-doc`
+({res['wall_s']} s through the remote chip, incl. compiles).
+
+| checkpoint | unit edit rate (lower better) | text token acc | BLEU | AL ms |
+|---|---|---|---|---|
+{row('untrained (step 0)', u)}
+{row(f'trained (step {args.max_update})', t)}
+""")
+            print(f"appended TPU rows to {doc}", file=sys.stderr)
+            return
 
         doc.write_text(f"""# Flagship learnability golden
 

@@ -19,6 +19,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--concurrency", type=int, default=None)
     ap.add_argument("--pipelined", action="store_true", default=True)
+    ap.add_argument("--sync", action="store_true", default=False,
+                    help="also warm the synchronous fused-policy programs "
+                    "(default: only what a pipelined server runs)")
     args = ap.parse_args()
 
     import os
@@ -54,6 +57,7 @@ def main():
 
     t0 = time.perf_counter()
     n = engine.warmup(chunk=8, conv_chunk=8, pipelined=args.pipelined,
+                      sync=args.sync or None,
                       concurrency=args.concurrency)
     dt = time.perf_counter() - t0
     print(f"WARMUP: {n} programs in {dt:.1f}s "

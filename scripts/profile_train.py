@@ -327,6 +327,15 @@ def main():
         os.environ["STREAMSPEECH_DISABLE_PALLAS_MASKED"] = "1"
         emit("no-masked-attn", B, args.frames, args.k, args)
         os.environ.pop("STREAMSPEECH_DISABLE_PALLAS_MASKED", None)
+        # streaming-mask cross-attention kernel OFF (bias_attention ablation)
+        os.environ["STREAMSPEECH_DISABLE_PALLAS_CROSS"] = "1"
+        emit("no-cross-attn", B, args.frames, args.k, args)
+        os.environ.pop("STREAMSPEECH_DISABLE_PALLAS_CROSS", None)
+        # backward-pass remat of conformer + unit-decoder layers (--remat):
+        # recompute vs activation HBM traffic on the memory-bound step
+        os.environ["STREAMSPEECH_REMAT"] = "1"
+        emit("remat", B, args.frames, args.k, args)
+        os.environ.pop("STREAMSPEECH_REMAT", None)
         emit("no-pallas", B, args.frames, args.k, args, pallas=False)
 
     print(json.dumps({"rows": rows}, indent=1), file=sys.stderr)

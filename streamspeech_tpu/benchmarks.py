@@ -23,6 +23,7 @@ loops that end with it measure dispatch rate, not execution.
 from __future__ import annotations
 
 import math
+import os
 import time
 import traceback
 from typing import Dict, Optional, Tuple
@@ -126,6 +127,11 @@ def build_full_model(seed: int = 0, dtype=None):
 
     enable_persistent_compile_cache()
     cfg = full_config()
+    if os.environ.get("STREAMSPEECH_REMAT"):
+        # backward-pass remat of conformer + unit-decoder layers (config.py
+        # EncoderConfig.remat) — profile/bench ablation knob
+        cfg.encoder.remat = True
+        cfg.unit_decoder.remat = True
     model = StreamSpeechModel(cfg, dtype=dtype or jnp.float32)
     src = jnp.zeros((1, 64, 80))
     init = jax.jit(lambda r: model.init(
@@ -742,10 +748,22 @@ def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
                     "StartOffset") if k in scores},
     }
     if pipelined and compare_sync:
-        # synchronous fused path on the SAME warmed engine — both the
+        # synchronous fused path on the SAME engine — both the
         # apples-to-apples comparison and the source of the replay records
         # (the pipelined loop never round-trips per chunk, so the nosync
-        # replay keys off the sync pass's recorded calls)
+        # replay keys off the sync pass's recorded calls). The sync
+        # fused-policy programs are warmed HERE, not in the timed warmup
+        # above: a pipelined server never runs them (session.py warmup
+        # docstring), so charging their ~12 s tracing to warmup_s would
+        # misstate the serving startup cost.
+        t0 = time.perf_counter()
+        retry_compile(
+            lambda: engine.warmup(chunk=agent.cfg.chunk_size,
+                                  conv_chunk=agent.cfg.conv_chunk_size,
+                                  whole_word=agent.cfg.whole_word,
+                                  pipelined=False),
+            label="engine_warmup_sync")
+        out["warmup_sync_extra_s"] = time.perf_counter() - t0
         sync_agent = StreamSpeechS2STAgent(
             engine, StreamSpeechAgentConfig(source_segment_size=segment_ms),
             src_dict, src_dict, unit_dict)

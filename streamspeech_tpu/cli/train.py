@@ -100,6 +100,11 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--dropout", type=float, default=None,
                    help="override model dropout everywhere (fairseq "
                         "--dropout; default: the architecture's 0.1)")
+    p.add_argument("--remat", action="store_true", default=False,
+                   help="rematerialize conformer + unit-decoder layers in "
+                        "the backward pass (recompute instead of storing "
+                        "activations; numerics identical — the step is "
+                        "HBM-bound, see docs/training.md roofline)")
     # parallelism
     p.add_argument("--tp", type=int, default=1, help="model-parallel size")
     p.add_argument("--fsdp", action="store_true", default=False)
@@ -130,6 +135,9 @@ def build_model_config(args, dicts) -> StreamSpeechConfig:
         cfg.encoder.dropout = args.dropout
         cfg.mt_decoder.dropout = args.dropout
         cfg.unit_decoder.dropout = args.dropout
+    if args.remat:
+        cfg.encoder.remat = True
+        cfg.unit_decoder.remat = True
     cfg.unit_decoder.ctc_upsample_rate = args.ctc_upsample_rate
     cfg.unit_decoder.vocab_size = len(dicts["units"])
     cfg.mt_decoder.vocab_size = len(dicts["target_unigram"])

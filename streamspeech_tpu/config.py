@@ -47,6 +47,11 @@ class EncoderConfig:
     no_scale_embedding: bool = False
     # target-speaker conditioning (`chunk_unity/models/s2s_conformer.py:37-65`)
     speaker_embed_dim: Optional[int] = None
+    # rematerialize each conformer layer in the backward pass
+    # (jax.checkpoint): trades recompute FLOPs for activation HBM traffic —
+    # the train step is memory-bound (docs/training.md roofline), so this is
+    # usually a win on TPU; numerics identical
+    remat: bool = False
 
 
 @dataclass
@@ -89,6 +94,10 @@ class UnitDecoderConfig:
     n_frames_per_step: int = 1
     max_target_positions: int = 8192
     vocab_size: int = 0  # units + specials + blank
+    # rematerialize each decoder layer in the backward pass (see
+    # EncoderConfig.remat) — the unit stack runs at T = mt_len × upsample
+    # (1200 at the bench shape), the most activation-heavy part of the step
+    remat: bool = False
 
 
 @dataclass

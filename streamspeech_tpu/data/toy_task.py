@@ -316,7 +316,8 @@ def run_learnability_golden(workdir: str, max_update: int = 300,
                             n_train: int = 300, n_dev: int = 24,
                             lr: float = 2e-3, seed: int = 0,
                             upsample: int = 8, dropout: float = 0.0,
-                            verbose: bool = False) -> Dict[str, Dict]:
+                            verbose: bool = False,
+                            device: str = "cpu") -> Dict[str, Dict]:
     """End-to-end flagship learnability golden (VERDICT r3 item #5).
 
     Generates the toy task, trains the REAL StreamSpeech model (scaled-down
@@ -328,9 +329,14 @@ def run_learnability_golden(workdir: str, max_update: int = 300,
     - units through the streaming S2ST agent via the batched evaluator
       (`eval_units_streaming`, run as its own subprocess).
 
-    Every stage is a plain-CPU subprocess (fresh backend each; no
-    mesh/global state bleed). Returns {"untrained": scores, "trained":
-    scores} with unit_edit_rate / text_token_acc (+ evaluator latency keys).
+    Every stage is its own subprocess (fresh backend each; no mesh/global
+    state bleed). device="cpu" (default, CI) forces plain CPU in every
+    stage; device="tpu" leaves the environment's TPU backend in place and
+    turns the Pallas training path on (STREAMSPEECH_PALLAS_TRAIN=1) — the
+    TPU-numerics twin of the CPU golden (VERDICT r4 Next #6): bf16 compute
+    (TrainConfig.dtype default) + kernel backward end to end, gated on the
+    same thresholds. Returns {"untrained": scores, "trained": scores} with
+    unit_edit_rate / text_token_acc (+ evaluator latency keys).
     """
     import subprocess
     import sys
@@ -343,13 +349,16 @@ def run_learnability_golden(workdir: str, max_update: int = 300,
     def run(mod, *argv):
         import os
 
-        cmd = [sys.executable, "-m", mod, "--cpu", *map(str, argv)]
+        dev_flags = ["--cpu"] if device == "cpu" else []
+        cmd = [sys.executable, "-m", mod, *dev_flags, *map(str, argv)]
         env = dict(os.environ)
         # don't inherit the test suite's virtual 8-device CPU mesh (the
         # subprocess would build a data=8 mesh and demand batch divisibility)
         env.pop("XLA_FLAGS", None)
+        if device == "tpu":
+            env["STREAMSPEECH_PALLAS_TRAIN"] = "1"
         r = subprocess.run(cmd, cwd=str(repo), capture_output=True, text=True,
-                           timeout=3600, env=env)
+                           timeout=7200 if device == "tpu" else 3600, env=env)
         if verbose:
             sys.stderr.write(r.stderr[-2000:])
         if r.returncode != 0:

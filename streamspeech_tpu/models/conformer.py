@@ -217,7 +217,19 @@ class ChunkConformerEncoder(nn.Module):
         c = self.cfg
         self.subsample = Conv1dSubsampler(c, dtype=self.dtype, name="subsample")
         self.linear = nn.Dense(c.embed_dim, dtype=self.dtype, name="linear")
-        self.layers = [ConformerLayer(c, dtype=self.dtype, name=f"layers_{i}")
+        layer_cls = ConformerLayer
+        if getattr(c, "remat", False):
+            # per-layer rematerialization: only the layer INPUT is kept for
+            # the backward pass; intermediates are recomputed. The step is
+            # HBM-bound (docs/training.md), so the saved activation traffic
+            # outweighs the recompute. statics = (conv_chunk_size,
+            # deterministic, use_running_stats) — python control flow;
+            # argnums = call-site positional index + 1 (the module
+            # instance occupies slot 0 in flax's lifted fn).
+            # Only __call__ is transformed — the streaming .step path (which
+            # never differentiates) stays plain.
+            layer_cls = nn.remat(ConformerLayer, static_argnums=(5, 6, 7))
+        self.layers = [layer_cls(c, dtype=self.dtype, name=f"layers_{i}")
                        for i in range(c.layers)]
         self.embed_scale = 1.0 if c.no_scale_embedding else math.sqrt(c.embed_dim)
         self.dropout_module = nn.Dropout(c.dropout)

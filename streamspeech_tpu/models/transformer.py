@@ -624,8 +624,17 @@ class CTCTransformerUnitDecoder(nn.Module):
                                        (c.vocab_size, c.embed_dim))
         self.pos_table = jnp.asarray(
             sinusoidal_embedding(c.max_target_positions, c.embed_dim, PAD))
+        layer_cls = TransformerDecoderLayer
+        if getattr(c, "remat", False):
+            # backward-pass rematerialization at the hot T = mt_len×upsample
+            # shape (see EncoderConfig.remat); statics = (deterministic,
+            # self_causal) — python control flow inside the layer. Argnums
+            # = call-site positional index + 1 (module instance in slot 0);
+            # the rematted calls pass every argument positionally.
+            layer_cls = nn.remat(TransformerDecoderLayer,
+                                 static_argnums=(7, 10))
         self.layers = [
-            TransformerDecoderLayer(
+            layer_cls(
                 c.embed_dim, c.ffn_embed_dim, c.attention_heads, c.dropout,
                 attention_dropout=c.dropout, activation_dropout=c.dropout,
                 normalize_before=True, dtype=self.dtype, name=f"layers_{i}")
@@ -688,8 +697,10 @@ class CTCTransformerUnitDecoder(nn.Module):
         # the fused Pallas kernel applies; the fallback builds the identical
         # causal_allowed(t_up) mask inside MultiHeadAttention.
         for layer in self.layers:
+            # all-positional call so the remat wrapper's static_argnums
+            # (deterministic, self_causal) resolve
             x, _ = layer(x, enc, None, allowed_cross, self_valid,
-                         enc_valid, deterministic, self_causal=True)
+                         enc_valid, deterministic, None, None, True)
         x = self.layer_norm(x)
         return self._unit_logits(x), x
 
@@ -704,7 +715,10 @@ class CTCTransformerUnitDecoder(nn.Module):
         x = x + unit_decoder_positions(self.pos_table, b, t_new).astype(x.dtype)
         new_self = []
         for layer, sc, cc in zip(self.layers, self_caches, cross_caches):
-            x, sc = layer(x, None, None, None, None, None, True, sc, cc)
+            # all-positional (incl. self_causal=False) so the remat wrapper's
+            # static_argnums resolve when cfg.remat is on
+            x, sc = layer(x, None, None, None, None, None, True, sc, cc,
+                          False)
             new_self.append(sc)
         x = self.layer_norm(x)
         return self._unit_logits(x), x, new_self

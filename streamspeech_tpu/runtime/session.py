@@ -107,6 +107,25 @@ class StreamSpeechEngine:
         self._mt_fill_cross = mt_fill_cross
 
         @jax.jit
+        def session_init(variables):
+            # fresh per-session device state in ONE dispatch: the unjitted
+            # version (eager encoder_stream_init + per-layer KVCache zeros)
+            # issues hundreds of tiny eager ops, each a tunnel round trip —
+            # it dominated new_session() latency and a chunk of warmup
+            enc_state = model.apply(variables, 1, max_enc_frames,
+                                    method=StreamSpeechModel.encoder_stream_init)
+            enc_buf = jnp.zeros((1, max_enc_frames, c.encoder.embed_dim))
+            dc = c.mt_decoder
+            h, dh = dc.attention_heads, dc.embed_dim // dc.attention_heads
+            mt_self = [KVCache.create(1, max_mt_tokens, h, dh)
+                       for _ in range(dc.layers)]
+            mt_cross = [KVCache.create(1, max_enc_frames, h, dh)
+                        for _ in range(dc.layers)]
+            return enc_state, enc_buf, mt_self, mt_cross
+
+        self._session_init = session_init
+
+        @jax.jit
         def mt_step(variables, token, offset, self_caches, cross_caches):
             logits, feats, self_caches = model.apply(
                 variables, token, offset, self_caches, cross_caches,
@@ -850,14 +869,22 @@ class StreamSpeechEngine:
     def warmup(self, chunk: int = 8, conv_chunk: int = 8,
                whole_word: bool = False, k1: int = 0, n: int = 1,
                max_len: int = 200, pipelined: bool = False,
+               sync: Optional[bool] = None,
                concurrency: Optional[int] = None) -> int:
         """Compile every streaming program variant for the given chunking
         (serving-startup cost, NOT per-chunk): through this environment's
         remote compile helper a lazy mid-stream compile costs minutes and
         wrecks tail latency. Returns the number of programs warmed.
-        ``pipelined=True`` additionally compiles the device-resident-counter
-        programs of the overlapped loop (policy_step_pipelined + the
-        cross-clamped fallback decode).
+        ``pipelined=True`` compiles the device-resident-counter programs of
+        the overlapped loop (policy_step_pipelined + the cross-clamped
+        fallback decode). ``sync`` controls the synchronous fused-policy
+        programs (policy_step); default = ``not pipelined``, because the
+        pipelined agent's fallbacks take the host path (push_features /
+        mt_decode / emit_tail — all warmed unconditionally), never
+        fused_policy — tracing policy_step costs ~12 s of single-core Python
+        here, a third of a pipelined server's startup, for a program it
+        would never run. Pass sync=True to warm both (e.g. one engine
+        serving both agent modes).
 
         ``concurrency > 1`` runs the per-program warmup thunks from a thread
         pool: Python-side tracing stays GIL-serialized, but the remote
@@ -871,6 +898,8 @@ class StreamSpeechEngine:
         for per-program timings."""
         import numpy as np
 
+        if sync is None:
+            sync = not pipelined
         if concurrency is None:
             try:
                 concurrency = 4 if jax.default_backend() != "cpu" else 1
@@ -917,7 +946,7 @@ class StreamSpeechEngine:
                 s2.enc_len_dispatched = s2.enc_len + block_enc
                 s2.mt_decode(1)
 
-        if self.vocoder is not None:
+        if sync and self.vocoder is not None:
             table2 = jnp.zeros((self.model.cfg.mt_decoder.vocab_size,), bool)
             for cap in self.mt_buckets:
                 fill = cap - self.fused_steps - 2
@@ -994,22 +1023,18 @@ class StreamingSession:
 
     def __init__(self, engine: StreamSpeechEngine):
         self.e = engine
-        model, v = engine.model, engine.variables
-        c = model.cfg
-        self.enc_state = model.apply(
-            v, 1, engine.max_enc_frames,
-            method=StreamSpeechModel.encoder_stream_init)
-        self.enc_buf = jnp.zeros((1, engine.max_enc_frames, c.encoder.embed_dim))
+        c = engine.model.cfg
+        # all fresh device state in ONE jitted dispatch (engine._session_init)
+        # — the previous eager construction issued hundreds of tiny ops, each
+        # a tunnel round trip, dominating per-session startup
+        (self.enc_state, self.enc_buf, mt_self,
+         mt_cross) = engine._session_init(engine.variables)
         self.enc_len = 0
         self.asr_ids: List[int] = []
         self.st_ids: List[int] = []
         # MT decoder caches: self-attn per layer + cross per layer
-        dc = c.mt_decoder
-        h, dh = dc.attention_heads, dc.embed_dim // dc.attention_heads
-        self.mt_self = [KVCache.create(1, engine.max_mt_tokens, h, dh)
-                        for _ in range(dc.layers)]
-        self.mt_cross = [KVCache.create(1, engine.max_enc_frames, h, dh)
-                         for _ in range(dc.layers)]
+        self.mt_self = list(mt_self)
+        self.mt_cross = list(mt_cross)
         self.mt_tokens: List[int] = []  # hypothesis (dict ids), EXCLUDING leading eos
         self.mt_steps = 0               # tokens fed (incl. leading eos)
         self.units: List[int] = []      # emitted units (dictionary ids)
