@@ -40,12 +40,21 @@ from streamspeech_tpu.ops.masks import (lengths_to_mask,
 
 def ctc_not_blank_probs(logits: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
     """P(new token emitted at frame t) = 1 - P(blank) - P(repeat of previous frame),
-    reference `streamspeech_model.py:288-314`. Returns stop-gradient'd [B, T]."""
+    reference `streamspeech_model.py:288-314`. Returns stop-gradient'd [B, T].
+
+    repeat_t = Σ_{v≠blank} p_t(v)·p_{t-1}(v) is computed as the full dot of
+    consecutive prob rows minus the blank product — algebraically identical
+    to the reference's concatenate-out-the-blank-column form, but it avoids
+    materializing TWO extra [B, T, V] fp32 buffers (nonblank + shifted copy):
+    at the train shape [8, 256, 6000] those were the single largest HBM
+    writes in the whole step (scripts/analyze_hlo.py, ×2 aux heads). The
+    slice pair below fuses into the reduction."""
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-    nonblank = jnp.concatenate([probs[:, :, :blank], probs[:, :, blank + 1:]], axis=-1)
-    prev = jnp.pad(nonblank[:, :-1], ((0, 0), (1, 0), (0, 0)))
-    repeat = jnp.sum(prev * nonblank, axis=-1)
     blank_p = probs[:, :, blank]
+    dot = jnp.einsum("btv,btv->bt", probs[:, 1:], probs[:, :-1])
+    dot = jnp.pad(dot, ((0, 0), (1, 0)))
+    prev_blank = jnp.pad(blank_p[:, :-1], ((0, 0), (1, 0)))
+    repeat = dot - blank_p * prev_blank
     return jax.lax.stop_gradient(1.0 - (repeat + blank_p))
 
 
