@@ -73,7 +73,7 @@ def main():
             # Next #6) instead of overwriting the canonical CPU doc
             with open(doc, "a") as f:
                 f.write(f"""
-## TPU run (same thresholds — bf16 compute, Pallas training path)
+## TPU run (bf16 compute, Pallas training path)
 
 `python scripts/golden_learnability.py --device tpu --write-doc`
 ({res['wall_s']} s through the remote chip, incl. compiles).
