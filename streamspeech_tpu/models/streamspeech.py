@@ -48,7 +48,16 @@ def ctc_not_blank_probs(logits: jnp.ndarray, blank: int = 0) -> jnp.ndarray:
     materializing TWO extra [B, T, V] fp32 buffers (nonblank + shifted copy):
     at the train shape [8, 256, 6000] those were the single largest HBM
     writes in the whole step (scripts/analyze_hlo.py, ×2 aux heads). The
-    slice pair below fuses into the reduction."""
+    slice pair below fuses into the reduction.
+
+    On TPU at mask-building shapes the whole computation runs as one Pallas
+    kernel (`ops/pallas_policy.py`): logits stream through VMEM once and the
+    fp32 posteriors never reach HBM at all (output is only [B, T])."""
+    from streamspeech_tpu.ops.pallas_policy import (nb_pallas_ok,
+                                                    not_blank_probs_pallas)
+
+    if nb_pallas_ok(logits.shape[1], logits.shape[-1]):
+        return not_blank_probs_pallas(logits, blank)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     blank_p = probs[:, :, blank]
     dot = jnp.einsum("btv,btv->bt", probs[:, 1:], probs[:, :-1])

@@ -40,6 +40,33 @@ def gather_extended_logprobs(lp: jnp.ndarray, labels: jnp.ndarray,
         [inter, jnp.broadcast_to(lp_blank, (b, t, 1))], axis=-1)
 
 
+def gather_extended_logprobs_from_logits(
+        logits: jnp.ndarray, labels: jnp.ndarray,
+        blank_id: int) -> jnp.ndarray:
+    """``gather_extended_logprobs(log_softmax(logits), ...)`` WITHOUT
+    materializing the [B, T, V] fp32 log-softmax: the gather selects exactly
+    one vocab entry per extended state and ``log_softmax(x) = x -
+    logsumexp(x)``, so gather the RAW logits with the same one-hot matmul
+    (fp32 MXU accumulation — a 0/1 selection is exact in any float dtype)
+    and subtract a fused [B, T] logsumexp afterwards. Saves writing and
+    re-reading a 49 MB fp32 buffer per aux head (38.6 MB for the unit head)
+    every train step (scripts/analyze_hlo.py); numerically identical to the
+    two-step form (same max-subtracted reduction, same subtraction)."""
+    b, t, _ = logits.shape
+    n = labels.shape[1]
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=logits.dtype)
+    g_lab = jnp.einsum("btv,bnv->btn", logits, onehot,
+                       preferred_element_type=jnp.float32)  # [B, T, N]
+    g_blank = logits[:, :, blank_id].astype(jnp.float32)[..., None]
+    inter = jnp.stack(
+        [jnp.broadcast_to(g_blank, (b, t, n)), g_lab],
+        axis=-1).reshape(b, t, 2 * n)
+    ext = jnp.concatenate(
+        [inter, jnp.broadcast_to(g_blank, (b, t, 1))], axis=-1)
+    lse = jax.scipy.special.logsumexp(logits.astype(jnp.float32), axis=-1)
+    return ext - lse[:, :, None]
+
+
 def ctc_neg_log_likelihood(
     logits: jnp.ndarray,        # [B, T, V]
     logit_lengths: jnp.ndarray, # [B]
@@ -66,7 +93,6 @@ def ctc_neg_log_likelihood(
     b, t, _ = logits.shape
     n = labels.shape[1]
     s = 2 * n + 1
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     # states 2i+1 (label i) may skip from 2i-1 (label i-1) iff labels differ
     lbl_prev = jnp.concatenate([jnp.full((b, 1), -1, labels.dtype),
@@ -74,8 +100,9 @@ def ctc_neg_log_likelihood(
     skip = jnp.zeros((b, s), bool).at[:, 1::2].set(labels != lbl_prev)
 
     # one matmul-gather for every (frame, state) pair; the scan body then
-    # never touches the [B, T, V] tensor
-    lp_ext = gather_extended_logprobs(lp, labels, blank_id)
+    # never touches the [B, T, V] tensor (and the full log-softmax is never
+    # materialized — see gather_extended_logprobs_from_logits)
+    lp_ext = gather_extended_logprobs_from_logits(logits, labels, blank_id)
     frame_valid = jnp.arange(t)[None, :] < logit_lengths[:, None]  # [B, T]
 
     def lse3(a0, a1, a2):

@@ -204,20 +204,20 @@ def pallas_ctc_available() -> bool:
 def _ext_and_masks(logits, logit_lengths, labels, label_lengths, blank_id):
     """Unpadded per-head DP inputs: lp_ext [B, T, S] + the additive masks
     ([B, S]) + frame validity [B, T]."""
-    from streamspeech_tpu.ops.ctc import gather_extended_logprobs
+    from streamspeech_tpu.ops.ctc import gather_extended_logprobs_from_logits
 
     b, t, _ = logits.shape
     n = labels.shape[1]
     s = 2 * n + 1
-    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
 
     lbl_prev = jnp.concatenate([jnp.full((b, 1), -1, labels.dtype),
                                 labels[:, :-1]], axis=1)
     skip = jnp.zeros((b, s), bool).at[:, 1::2].set(labels != lbl_prev)
 
-    # one-hot matmul, NOT take_along_axis: the gather's transpose is a
-    # serialized duplicate-index scatter (see gather_extended_logprobs)
-    lp_ext = gather_extended_logprobs(lp, labels, blank_id)
+    # one-hot matmul, NOT take_along_axis (the gather's transpose is a
+    # serialized duplicate-index scatter), on RAW logits with a fused
+    # [B, T] logsumexp — the [B, T, V] fp32 log-softmax never materializes
+    lp_ext = gather_extended_logprobs_from_logits(logits, labels, blank_id)
 
     has_label = label_lengths > 0
     sidx = jnp.arange(s)[None, :]

@@ -25,18 +25,20 @@ import numpy as np
 from streamspeech_tpu.models import layers
 from streamspeech_tpu.models.streamspeech import StreamSpeechModel, init_params
 from streamspeech_tpu.ops import pallas_attention as pa
+from streamspeech_tpu.ops import pallas_policy as pp
 from streamspeech_tpu.train.synthetic import synthetic_batch, tiny_config
 
 
 @contextlib.contextmanager
 def forced_gates():
-    """Force all three kernel routes on + interpret-mode kernels; count route
+    """Force all four kernel routes on + interpret-mode kernels; count route
     hits so the parity assertions can't go vacuous."""
-    hits = {"relpos": 0, "masked": 0, "bias": 0}
+    hits = {"relpos": 0, "masked": 0, "bias": 0, "notblank": 0}
     saved = (layers._pallas_ok, layers._masked_pallas_ok,
              layers._bias_pallas_ok, pa._relpos_bwd.interpret,
              pa.relpos_attention_trainable, pa.masked_attention_trainable,
-             pa.bias_attention_trainable)
+             pa.bias_attention_trainable, pp.nb_pallas_ok,
+             pp.not_blank_probs_pallas)
 
     def counted(name, fn):
         def wrapper(*a, **kw):
@@ -53,12 +55,18 @@ def forced_gates():
     pa.masked_attention_trainable = counted("masked",
                                             pa.masked_attention_trainable)
     pa.bias_attention_trainable = counted("bias", pa.bias_attention_trainable)
+    pp.nb_pallas_ok = lambda t, v: True
+    nb_orig = pp.not_blank_probs_pallas
+    pp.not_blank_probs_pallas = counted(
+        "notblank", lambda logits, blank=0: nb_orig(logits, blank,
+                                                    interpret=True))
     try:
         yield hits
     finally:
         (layers._pallas_ok, layers._masked_pallas_ok, layers._bias_pallas_ok,
          pa._relpos_bwd.interpret, pa.relpos_attention_trainable,
-         pa.masked_attention_trainable, pa.bias_attention_trainable) = saved
+         pa.masked_attention_trainable, pa.bias_attention_trainable,
+         pp.nb_pallas_ok, pp.not_blank_probs_pallas) = saved
 
 
 def _build():
@@ -92,6 +100,7 @@ def test_forced_routes_full_forward_matches_xla():
     assert hits["relpos"] > 0, "rel-pos route never taken (vacuous)"
     assert hits["masked"] > 0, "causal masked route never taken (vacuous)"
     assert hits["bias"] > 0, "bias route never taken (vacuous)"
+    assert hits["notblank"] > 0, "not-blank posterior route never taken"
     for key in ("encoder_out", "asr_logits", "st_logits", "mt_logits",
                 "unit_logits"):
         np.testing.assert_allclose(np.asarray(got[key]), np.asarray(ref[key]),
@@ -131,7 +140,8 @@ def test_forced_routes_full_grad_matches_xla(monkeypatch):
     ref_loss, ref_grads = jax.value_and_grad(loss_fn)(params, other)
     with forced_gates() as hits:
         got_loss, got_grads = jax.value_and_grad(loss_fn)(params, other)
-    assert hits["bias"] > 0 and hits["masked"] > 0 and hits["relpos"] > 0
+    assert (hits["bias"] > 0 and hits["masked"] > 0 and hits["relpos"] > 0
+            and hits["notblank"] > 0)
     np.testing.assert_allclose(float(got_loss), float(ref_loss), rtol=1e-5)
     flat_ref = jax.tree_util.tree_leaves_with_path(ref_grads)
     flat_got = jax.tree.leaves(got_grads)
