@@ -31,7 +31,15 @@ def enable_persistent_compile_cache() -> bool:
     this is called from the TPU-serving entry points (engine/bench/train)
     AFTER the backend is known, never at import. Opt out with
     STREAMSPEECH_NO_COMPILE_CACHE=1; override the directory with
-    STREAMSPEECH_COMPILE_CACHE_DIR. Returns True when enabled."""
+    STREAMSPEECH_COMPILE_CACHE_DIR. Returns True when enabled.
+
+    Directory choice: when the package lives inside a writable source
+    checkout (a ``.git`` next to it), the cache defaults to
+    ``<checkout>/.xla_compile_cache`` rather than ``~/.cache`` — in
+    containerized deployments the home directory is image-ephemeral while
+    the checkout volume persists, and a cache that survives process AND
+    container restarts is what turns the 1-4 min remote compiles into
+    ~0.4 s loads for every subsequent server start."""
     import os
 
     if os.environ.get("STREAMSPEECH_NO_COMPILE_CACHE"):
@@ -43,10 +51,15 @@ def enable_persistent_compile_cache() -> bool:
             return False
         if jax.config.jax_compilation_cache_dir:
             return True  # already on
-        path = os.environ.get(
-            "STREAMSPEECH_COMPILE_CACHE_DIR",
-            os.path.join(os.path.expanduser("~"), ".cache",
-                         "streamspeech_tpu", "xla"))
+        path = os.environ.get("STREAMSPEECH_COMPILE_CACHE_DIR")
+        if not path:
+            pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+            if (os.path.isdir(os.path.join(pkg_parent, ".git"))
+                    and os.access(pkg_parent, os.W_OK)):
+                path = os.path.join(pkg_parent, ".xla_compile_cache")
+            else:
+                path = os.path.join(os.path.expanduser("~"), ".cache",
+                                    "streamspeech_tpu", "xla")
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -87,6 +87,21 @@ def pallas_train_flops(cfg, batch: int, frames: int, mt_len: int,
     return total
 
 
+def _compile_cache_entries() -> int:
+    """Number of executables in the persistent XLA compile cache, 0 when the
+    cache is off/empty. Reported next to warmup_s so a warm-start warmup is
+    never mistaken for a cold-compile one."""
+    try:
+        import jax
+
+        path = jax.config.jax_compilation_cache_dir
+        if not path or not os.path.isdir(path):
+            return 0
+        return sum(1 for n in os.listdir(path) if n.endswith("-cache"))
+    except Exception:
+        return 0
+
+
 def retry_compile(fn, attempts: int = 3, backoff_s: float = 10.0,
                   label: str = ""):
     """Run a compile-bearing callable with bounded retries.
@@ -670,6 +685,7 @@ def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
                                         pipelined=pipelined),
         src_dict, src_dict, unit_dict)
 
+    cache_entries_before = _compile_cache_entries()
     t0 = time.perf_counter()
     # warmed programs are cached in-process, so a retried warmup only redoes
     # the program whose compile RPC dropped
@@ -743,6 +759,10 @@ def measure_pipeline_rtf(model=None, variables=None, utterances: int = 4,
         "write_density": density,
         "warmup_programs": n_prog,
         "warmup_s": warmup_s,
+        # honesty: how many persistent-cache executables existed before the
+        # timed warmup. 0 = cold compile through the remote helper; >0 = the
+        # warm-start path a restarted production server actually takes.
+        "warmup_cache_entries": cache_entries_before,
         "scores": {k: scores[k] for k in
                    ("AL", "AL_CA", "RTF", "RTF_CA", "NumChunks",
                     "StartOffset") if k in scores},
