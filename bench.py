@@ -95,6 +95,7 @@ def main():
                 extras["sync_xrealtime"] = round(st["sync_xrealtime"], 3)
                 extras["sync_n_writes"] = st["sync_n_writes"]
             extras["warmup_s"] = round(st["warmup_s"], 1)
+            extras["warmup_cache_entries"] = st.get("warmup_cache_entries", 0)
             # provisional headline: if a later (slow, compile-heavy) stage is
             # killed by the harness, the driver still parses this line; the
             # final print below supersedes it

@@ -18,6 +18,24 @@ Top-level layout (mirrors SURVEY.md section 2 of the reference, redesigned TPU-f
 __version__ = "0.1.0"
 
 
+def _compile_cache_dir() -> str:
+    """Resolve the persistent-compile-cache directory (see
+    ``enable_persistent_compile_cache`` for the policy): env override, else
+    ``<checkout>/.xla_compile_cache`` when the package sits inside a writable
+    git checkout, else ``~/.cache/streamspeech_tpu/xla``."""
+    import os
+
+    path = os.environ.get("STREAMSPEECH_COMPILE_CACHE_DIR")
+    if path:
+        return path
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if (os.path.isdir(os.path.join(pkg_parent, ".git"))
+            and os.access(pkg_parent, os.W_OK)):
+        return os.path.join(pkg_parent, ".xla_compile_cache")
+    return os.path.join(os.path.expanduser("~"), ".cache",
+                        "streamspeech_tpu", "xla")
+
+
 def enable_persistent_compile_cache() -> bool:
     """Point jax at an on-disk compilation cache (XLA executables keyed by
     HLO+config) so serving/bench processes do not re-pay the 1-4 min remote
@@ -51,15 +69,7 @@ def enable_persistent_compile_cache() -> bool:
             return False
         if jax.config.jax_compilation_cache_dir:
             return True  # already on
-        path = os.environ.get("STREAMSPEECH_COMPILE_CACHE_DIR")
-        if not path:
-            pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-            if (os.path.isdir(os.path.join(pkg_parent, ".git"))
-                    and os.access(pkg_parent, os.W_OK)):
-                path = os.path.join(pkg_parent, ".xla_compile_cache")
-            else:
-                path = os.path.join(os.path.expanduser("~"), ".cache",
-                                    "streamspeech_tpu", "xla")
+        path = _compile_cache_dir()
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

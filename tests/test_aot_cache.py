@@ -118,3 +118,23 @@ def test_aot_default_is_opt_in(aot_on, monkeypatch):
     f = aot.aot_jit(make_fn([]), static_argnames=("k",), donate_argnums=())
     f(jnp.ones((4, 4)), jnp.ones((4, 4)), 1.0, k=2)
     assert list(aot_on.glob("*.jaxexport")) == []
+
+
+def test_compile_cache_dir_policy(monkeypatch, tmp_path):
+    """_compile_cache_dir: env override wins; a writable git checkout gets a
+    repo-local cache (homes are image-ephemeral in this deployment, the
+    checkout volume persists); otherwise fall back to ~/.cache."""
+    import streamspeech_tpu as pkg
+
+    monkeypatch.setenv("STREAMSPEECH_COMPILE_CACHE_DIR", str(tmp_path / "o"))
+    assert pkg._compile_cache_dir() == str(tmp_path / "o")
+
+    monkeypatch.delenv("STREAMSPEECH_COMPILE_CACHE_DIR", raising=False)
+    import os
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(pkg.__file__)))
+    expected = (os.path.join(pkg_parent, ".xla_compile_cache")
+                if os.path.isdir(os.path.join(pkg_parent, ".git"))
+                and os.access(pkg_parent, os.W_OK)
+                else os.path.join(os.path.expanduser("~"), ".cache",
+                                  "streamspeech_tpu", "xla"))
+    assert pkg._compile_cache_dir() == expected
