@@ -118,3 +118,48 @@ def test_grad_matches_optax():
         blank_id=blank)))(jnp.asarray(logits))
     np.testing.assert_allclose(np.asarray(g_ours), np.asarray(g_ref),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_logits_space_gather_matches_two_step_form():
+    """gather_extended_logprobs_from_logits (raw-logits gather + fused
+    logsumexp; avoids materializing the [B,T,V] fp32 log-softmax) must match
+    gather_extended_logprobs(log_softmax(logits)) in VALUE and GRADIENT to
+    float-associativity tolerance, for fp32 and bf16 logits. The two forms
+    differ only by (x - max) - L vs x - (max + L) grouping — ~1 ulp — which
+    is enough to decohere a 2000-step training trajectory (the learnability
+    golden's healthy-run spread, docs/golden_learnability.md) but must never
+    be a bias."""
+    from streamspeech_tpu.ops.ctc import (
+        gather_extended_logprobs,
+        gather_extended_logprobs_from_logits,
+    )
+
+    rng = np.random.RandomState(0)
+    b, t, v, n, blank = 3, 12, 17, 5, 0
+    labels = jnp.asarray(rng.randint(1, v, size=(b, n)).astype(np.int32))
+    for dtype in (jnp.float32, jnp.bfloat16):
+        logits = jnp.asarray(rng.randn(b, t, v).astype(np.float32) * 3.0,
+                             dtype=dtype)
+
+        def two_step(lg):
+            lp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+            return gather_extended_logprobs(lp, labels, blank)
+
+        def fused(lg):
+            return gather_extended_logprobs_from_logits(lg, labels, blank)
+
+        va = two_step(logits)
+        vb = fused(logits)
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=0, atol=1e-5)
+        ga = jax.grad(lambda lg: jnp.sum(two_step(lg)).astype(jnp.float32))(
+            logits)
+        gb = jax.grad(lambda lg: jnp.sum(fused(lg)).astype(jnp.float32))(
+            logits)
+        # grads w.r.t. bf16 logits are themselves bf16 (eps ~ 7.8e-3): the
+        # two forms round intermediate products differently, so the bound is
+        # a few bf16 ulps, not fp32-tight
+        tol = 1e-5 if dtype == jnp.float32 else 3e-2
+        np.testing.assert_allclose(np.asarray(ga, np.float32),
+                                   np.asarray(gb, np.float32),
+                                   rtol=tol, atol=tol)
