@@ -50,6 +50,13 @@ def main():
 
     t0 = time.perf_counter()
     model, variables = bm.build_full_model()
+    # NB: cache keys are program-signature-exact — the bench pipeline stage
+    # uses scheduled doctoring, so ITS warmup entries may not coincide with
+    # this script's; to pre-populate the cache for bench.py, run bench.py.
+    # This script's own entries are stable across its runs (measured: second
+    # run re-compiles ~0 programs), which is what the warm/cold comparison
+    # needs.
+    variables = bm.doctor_streaming_params(variables)
     build_s = time.perf_counter() - t0
 
     import jax.numpy as jnp
