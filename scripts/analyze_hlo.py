@@ -118,7 +118,8 @@ def analyze(hlo_text: str, top: int):
         comp[component_of(op_name, src)] += b
         opkind[kind] += b
     rows.sort(key=lambda r: -r["bytes"])
-    return rows[:top], comp, opkind
+    total_bytes = sum(r["bytes"] for r in rows)  # ALL instructions, pre-trunc
+    return rows[:top], comp, opkind, total_bytes
 
 
 def main():
@@ -149,9 +150,9 @@ def main():
         os.environ["STREAMSPEECH_REMAT"] = "1"
 
     if args.hlo_file:
-        rows, comp, opkind = analyze(Path(args.hlo_file).read_text(),
-                                     args.top)
-        report(args, rows, comp, opkind, None)
+        rows, comp, opkind, total = analyze(Path(args.hlo_file).read_text(),
+                                            args.top)
+        report(args, rows, comp, opkind, None, total)
         return
 
     import jax
@@ -173,14 +174,14 @@ def main():
         Path(args.dump_hlo).write_text(hlo)
         print(f"raw HLO -> {args.dump_hlo}", file=sys.stderr)
 
-    rows, comp, opkind = analyze(hlo, args.top)
+    rows, comp, opkind, total = analyze(hlo, args.top)
     ca = compiled.cost_analysis()
     if isinstance(ca, (list, tuple)):
         ca = ca[0]
-    report(args, rows, comp, opkind, ca)
+    report(args, rows, comp, opkind, ca, total)
 
 
-def report(args, rows, comp, opkind, ca):
+def report(args, rows, comp, opkind, ca, total_bytes):
     out = {
         "config": {"batch": args.batch, "frames": args.frames,
                    "mode": args.mode, "remat": args.remat},
@@ -188,7 +189,10 @@ def report(args, rows, comp, opkind, ca):
             float(ca.get("bytes accessed", 0.0)) / 1e9, 3) if ca else None,
         "xla_flops_t": round(float(ca.get("flops", 0.0)) / 1e12, 4)
         if ca else None,
-        "sum_output_bytes_gb": round(sum(r["bytes"] for r in rows) / 1e9, 3),
+        # ALL instructions — comparable to xla_bytes_accessed_gb (write side)
+        "sum_output_bytes_gb": round(total_bytes / 1e9, 3),
+        # just the listed top-N (was wrongly reported as the sum before r5c)
+        "top_output_bytes_gb": round(sum(r["bytes"] for r in rows) / 1e9, 3),
         "by_component_gb": {k: round(v / 1e9, 4)
                             for k, v in comp.most_common()},
         "by_opkind_gb": {k: round(v / 1e9, 4)

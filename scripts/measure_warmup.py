@@ -12,10 +12,14 @@ see runtime/session.py warmup docstring).
 
 Usage:
   python scripts/measure_warmup.py [--no-cache] [--mt-buckets 64]
-      [--unit-buckets 256] [--pipelined 1]
+      [--unit-buckets 256] [--pipelined 1] [--sync 0] [--concurrency N]
+      [--verbose]
 
 Run it twice from fresh processes to get the cold (first, populates the
-cache) and warm (second) numbers on one machine.
+cache) and warm (second) numbers on one machine. `--verbose` prints each
+program's warm time as it compiles (STREAMSPEECH_WARMUP_VERBOSE); `--sync 1`
+additionally warms the synchronous fused-policy programs a non-pipelined
+server would run (absorbed from the retired scripts/probe_warmup.py).
 """
 
 import argparse
@@ -34,6 +38,13 @@ def main():
     ap.add_argument("--mt-buckets", type=int, nargs="+", default=[64])
     ap.add_argument("--unit-buckets", type=int, nargs="+", default=[256])
     ap.add_argument("--pipelined", type=int, default=1)
+    ap.add_argument("--sync", type=int, default=None,
+                    help="1: also warm the synchronous fused-policy programs "
+                    "(default: engine default — sync iff not pipelined)")
+    ap.add_argument("--concurrency", type=int, default=None,
+                    help="concurrent remote compiles during warmup")
+    ap.add_argument("--verbose", action="store_true",
+                    help="per-program warm timings as they compile")
     ap.add_argument("--max-enc-frames", type=int, default=512)
     args = ap.parse_args()
 
@@ -41,6 +52,8 @@ def main():
 
     if args.no_cache:
         os.environ["STREAMSPEECH_NO_COMPILE_CACHE"] = "1"
+    if args.verbose:
+        os.environ["STREAMSPEECH_WARMUP_VERBOSE"] = "1"
 
     t_all = time.perf_counter()
     from streamspeech_tpu import benchmarks as bm
@@ -75,7 +88,9 @@ def main():
     entries_before = bm._compile_cache_entries()
     t0 = time.perf_counter()
     n_prog = engine.warmup(chunk=8, conv_chunk=8,
-                           pipelined=bool(args.pipelined))
+                           pipelined=bool(args.pipelined),
+                           sync=None if args.sync is None else bool(args.sync),
+                           concurrency=args.concurrency)
     warmup_s = time.perf_counter() - t0
     out = {
         "warmup_s": round(warmup_s, 1),

@@ -39,6 +39,7 @@ from streamspeech_tpu.train.checkpoint import (
     latest_checkpoint,
     load_checkpoint,
     save_checkpoint,
+    would_enter_best,
 )
 from streamspeech_tpu.train.synthetic import synthetic_batch, tiny_config
 from streamspeech_tpu.train.trainer import (
@@ -348,9 +349,16 @@ def main(argv=None):
             if val is not None:
                 progress.log({"valid_loss": val}, tag="valid",
                              step=num_updates)
-                if args.save_dir and args.keep_best_checkpoints > 0:
+                if args.save_dir and args.keep_best_checkpoints > 0 and (
+                        num_updates % args.save_interval_updates == 0
+                        or would_enter_best(
+                            args.save_dir, val, args.keep_best_checkpoints,
+                            args.maximize_best_checkpoint_metric)):
                     # metric-bearing save at the validation point (fairseq
-                    # ties best-rotation to validate_interval_updates)
+                    # ties best-rotation to validate_interval_updates). A
+                    # plateaued metric at a non-save-interval validation is
+                    # NOT serialized: the full state write would be pruned
+                    # immediately (would_enter_best pre-check)
                     save_checkpoint(
                         args.save_dir, num_updates, state,
                         config=to_dict(model_cfg), keep_last=args.keep_last,

@@ -19,7 +19,7 @@ static argument values + the dynamic arguments' avals, so any code change or
 shape change re-exports. Directory override: STREAMSPEECH_AOT_CACHE_DIR.
 
 OPT-IN (STREAMSPEECH_AOT_CACHE=1, TPU backends only): measured on this host
-(scripts/probe_warmup.py, 2026-08-19), the export path LOSES to the persistent
+(scripts/measure_warmup.py --verbose, 2026-08-19), the export path LOSES to the persistent
 XLA compile cache alone: population run 551 s (jax.export lowering goes
 through the remote helper per program), steady-state cold-process warmup
 49.3 s vs 38-66 s for plain jit + persistent compile cache. The artifact also
@@ -151,7 +151,19 @@ def aot_jit(fn=None, *, static_argnames=(), donate_argnums=()):
                 variants[key] = call
         return call(*dyn)
 
+    def clear_cache():
+        """Drop every compiled variant this wrapper holds: the loaded/exported
+        `Exported.call` closures AND the underlying jit executable cache —
+        the engine.close() contract (runtime/session.py) requires a wrapped
+        program to release its executables exactly like plain jax.jit."""
+        with lock:
+            variants.clear()
+        cc = getattr(jit_fn, "clear_cache", None)
+        if callable(cc):
+            cc()
+
     wrapper._aot_jit_fn = jit_fn  # escape hatch / introspection
+    wrapper.clear_cache = clear_cache
     return wrapper
 
 

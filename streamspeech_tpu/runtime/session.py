@@ -849,7 +849,12 @@ class StreamSpeechEngine:
 
         for name in list(vars(self)):
             fn = getattr(self, name)
-            if callable(fn) and hasattr(fn, "lower"):  # jitted closures
+            # jitted closures (hasattr 'lower') AND aot_jit wrappers (plain
+            # functions carrying _aot_jit_fn + clear_cache — runtime/aot.py):
+            # the wrappers hold the jit executables and their closures over
+            # model/variables, so skipping them kept everything alive
+            if callable(fn) and (hasattr(fn, "lower")
+                                 or hasattr(fn, "_aot_jit_fn")):
                 cc = getattr(fn, "clear_cache", None)
                 if callable(cc):
                     try:

@@ -61,7 +61,36 @@ def save_checkpoint(save_dir: str, step: int, state, config: Optional[dict] = No
     return str(path)
 
 
-_BEST_RE = re.compile(r"checkpoint\.best_(-?[0-9.]+(?:e-?\d+)?)_(\d+)$")
+_BEST_RE = re.compile(r"checkpoint\.best_(-?[0-9.]+(?:e[+-]?\d+)?)_(\d+)$")
+
+
+def _scan_best(d: Path):
+    """[(metric, step, path)] of the kept best checkpoints in `d`."""
+    best = []
+    for p in d.glob("checkpoint.best_*"):
+        m = _BEST_RE.match(p.name)
+        if m:
+            best.append((float(m.group(1)), int(m.group(2)), p))
+    return best
+
+
+def would_enter_best(save_dir: str, val: Optional[float], keep_best: int,
+                     maximize: bool = False) -> bool:
+    """True iff a checkpoint with validation metric `val` would be admitted
+    to the --keep-best-checkpoints rotation right now. The train loop asks
+    this BEFORE serializing: at a validation point that is not also a save
+    interval, a metric that cannot enter the best set would otherwise pay a
+    full state write (params+opt_state through the ~47 MB/s tunnel) for a
+    checkpoint that is immediately prunable."""
+    import math
+
+    if keep_best <= 0 or val is None or not math.isfinite(float(val)):
+        return False
+    best = _scan_best(Path(save_dir)) if Path(save_dir).exists() else []
+    if len(best) < keep_best:
+        return True
+    worst = (min if maximize else max)(b[0] for b in best)
+    return val >= worst if maximize else val <= worst
 
 
 def _rotate_best(d: Path, src: Path, step: int, val: float, keep_best: int,
@@ -73,15 +102,22 @@ def _rotate_best(d: Path, src: Path, step: int, val: float, keep_best: int,
     validation metric beats the current WORST kept best (or fewer than N are
     kept), then everything beyond the N best is removed. Copies are hardlink
     trees (the orbax array files are immutable once written), so a kept best
-    costs directory entries, not storage."""
+    costs directory entries, not storage.
+
+    The metric is embedded in the directory name with ``repr`` (exact float
+    round-trip) — a rounded rendering would make later comparisons run
+    against the rounded value, wrongly rejecting genuinely-better ties. A
+    non-finite metric (diverged validation) never enters the rotation: its
+    name would not parse back, leaving an unprunable hardlink tree per
+    validation."""
+    import math
     import os
     import shutil
 
-    best = []
-    for p in d.glob("checkpoint.best_*"):
-        m = _BEST_RE.match(p.name)
-        if m:
-            best.append((float(m.group(1)), int(m.group(2)), p))
+    if not math.isfinite(val):
+        return
+
+    best = _scan_best(d)
 
     def better(a: float, b: float) -> bool:
         return a >= b if maximize else a <= b
@@ -90,7 +126,7 @@ def _rotate_best(d: Path, src: Path, step: int, val: float, keep_best: int,
         worst = (min if maximize else max)(b[0] for b in best)
         if len(best) >= keep_best and not better(val, worst):
             return
-    dst = d / f"checkpoint.best_{val:.4f}_{step}"
+    dst = d / f"checkpoint.best_{val!r}_{step}"
     if not dst.exists():
         shutil.copytree(src, dst, copy_function=os.link)
         best.append((val, step, dst))
@@ -107,11 +143,7 @@ def best_checkpoint(save_dir: str, maximize: bool = False) -> Optional[str]:
     d = Path(save_dir)
     if not d.exists():
         return None
-    best = []
-    for p in d.glob("checkpoint.best_*"):
-        m = _BEST_RE.match(p.name)
-        if m:
-            best.append((float(m.group(1)), int(m.group(2)), p))
+    best = _scan_best(d)
     if not best:
         return None
     best.sort(key=lambda t: (-t[0] if maximize else t[0], -t[1]))

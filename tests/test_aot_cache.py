@@ -120,6 +120,24 @@ def test_aot_default_is_opt_in(aot_on, monkeypatch):
     assert list(aot_on.glob("*.jaxexport")) == []
 
 
+def test_aot_clear_cache_drops_variants(aot_on):
+    """engine.close() calls wrapper.clear_cache(): the loaded Exported.call
+    closures and the underlying jit executables must be released (the r5
+    close() regression kept every engine program alive because the wrapper
+    had neither .lower nor .clear_cache)."""
+    f = aot.aot_jit(make_fn([]), static_argnames=("k",), donate_argnums=())
+    f(jnp.ones((4, 4)), jnp.ones((4, 4)), 1.0, k=2)
+    variants = f.__closure__  # wrapper closes over the variants dict
+    held = [c.cell_contents for c in variants
+            if isinstance(c.cell_contents, dict)]
+    assert held and any(d for d in held), "no variants recorded before clear"
+    f.clear_cache()
+    assert all(not d for d in held), "clear_cache left variants alive"
+    # still callable afterwards (rebuilds from the on-disk artifact)
+    out = f(jnp.ones((4, 4)), jnp.ones((4, 4)), 1.0, k=2)
+    assert float(out[0][0, 0]) == 4.0
+
+
 def test_compile_cache_dir_policy(monkeypatch, tmp_path):
     """_compile_cache_dir: env override wins; a writable git checkout gets a
     repo-local cache (homes are image-ephemeral in this deployment, the

@@ -57,8 +57,8 @@ def test_keep_best_rotation(tmp_path):
         save_checkpoint(str(tmp_path), step, state, keep_last=10,
                         keep_best=2, val_metric=val)
     best = sorted(p.name for p in tmp_path.glob("checkpoint.best_*"))
-    assert best == ["checkpoint.best_0.4000_5", "checkpoint.best_0.5000_2"], best
-    assert best_checkpoint(str(tmp_path)).endswith("checkpoint.best_0.4000_5")
+    assert best == ["checkpoint.best_0.4_5", "checkpoint.best_0.5_2"], best
+    assert best_checkpoint(str(tmp_path)).endswith("checkpoint.best_0.4_5")
     # best copies don't disturb the recency rotation / latest_checkpoint
     assert latest_checkpoint(str(tmp_path)).endswith("checkpoint_5")
     restored = load_checkpoint(best_checkpoint(str(tmp_path)), target=state)
@@ -70,9 +70,47 @@ def test_keep_best_rotation(tmp_path):
         save_checkpoint(str(d2), step, state, keep_last=10, keep_best=2,
                         val_metric=val, maximize=True)
     best = sorted(p.name for p in d2.glob("checkpoint.best_*"))
-    assert best == ["checkpoint.best_20.0000_3", "checkpoint.best_30.0000_2"]
+    assert best == ["checkpoint.best_20.0_3", "checkpoint.best_30.0_2"]
     assert best_checkpoint(str(d2), maximize=True).endswith(
-        "checkpoint.best_30.0000_2")
+        "checkpoint.best_30.0_2")
+
+
+def test_keep_best_exact_metric_and_nonfinite(tmp_path):
+    """The stored metric must round-trip EXACTLY through the directory name
+    (a 4-decimal rendering made 0.12342 lose to a stored 0.12349999, and made
+    near-tie improvements unrankable), and non-finite metrics must never
+    create best dirs (an unparsable checkpoint.best_nan_* tree per validation
+    would accumulate unpruned for the rest of the run)."""
+    from streamspeech_tpu.train.checkpoint import best_checkpoint
+
+    cfg = tiny_config()
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    tx = make_optimizer(OptimizationConfig(update_freq=1))
+    state = TrainState.create(variables, tx)
+
+    vals = [(1, 0.12349999), (2, 0.12342),           # genuinely better tie
+            (3, float("nan")), (4, float("inf")),    # diverged validations
+            (5, 1.5e-07)]                            # exponent rendering
+    for step, val in vals:
+        save_checkpoint(str(tmp_path), step, state, keep_last=10,
+                        keep_best=2, val_metric=val)
+    best = sorted(p.name for p in tmp_path.glob("checkpoint.best_*"))
+    assert best == ["checkpoint.best_0.12342_2", "checkpoint.best_1.5e-07_5"], best
+    assert best_checkpoint(str(tmp_path)).endswith("checkpoint.best_1.5e-07_5")
+
+    # would_enter_best is the train loop's pre-serialization admission check:
+    # it must agree with what _rotate_best would actually admit
+    from streamspeech_tpu.train.checkpoint import would_enter_best
+
+    assert would_enter_best(str(tmp_path), 0.12342, keep_best=2)   # tie w/ kept
+    assert would_enter_best(str(tmp_path), 1e-9, keep_best=2)
+    assert not would_enter_best(str(tmp_path), 0.2, keep_best=2)   # plateaued
+    assert not would_enter_best(str(tmp_path), float("nan"), keep_best=2)
+    assert not would_enter_best(str(tmp_path), 0.2, keep_best=0)
+    assert would_enter_best(str(tmp_path / "fresh"), 9.9, keep_best=2)
+    # maximize mode flips the comparison
+    assert would_enter_best(str(tmp_path), 0.2, keep_best=2, maximize=True)
 
 
 def torchify(sd):

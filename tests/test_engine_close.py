@@ -27,9 +27,17 @@ def test_close_releases_programs_and_refs():
     sess.push_features(feats, 4, 8)
     assert sess.enc_len > 0
 
+    # the big programs are aot_jit wrappers (no .lower) — the r5 regression
+    # was close() only matching plain jax.jit and silently keeping all of
+    # them (and their closures over model/variables) alive
+    n_wrapped = sum(1 for v in vars(engine).values()
+                    if callable(v) and hasattr(v, "_aot_jit_fn"))
+    assert n_wrapped >= 3, "engine no longer uses aot_jit wrappers?"
+
     engine.close()
-    # every jitted program dropped; model/vars dereferenced
-    assert not any(callable(v) and hasattr(v, "lower")
+    # every jitted program AND aot wrapper dropped; model/vars dereferenced
+    assert not any(callable(v) and (hasattr(v, "lower")
+                                    or hasattr(v, "_aot_jit_fn"))
                    for v in vars(engine).values())
     assert engine.variables is None and engine.model is None
 
