@@ -97,6 +97,12 @@ def add_args(p: argparse.ArgumentParser):
     p.add_argument("--chunk-size", type=int, default=8)
     p.add_argument("--multichunk", action="store_true", default=False)
     p.add_argument("--ctc-upsample-rate", type=int, default=25)
+    p.add_argument("--n-frames-per-step", type=int, default=1,
+                   help="stacked units: the decoder emits N raw-vocab unit "
+                        "frames per position; the dataset additionally packs "
+                        "prev_output_tokens_unit for AR consumers (fairseq "
+                        "--n-frames-per-step, speech_to_speech_dataset.py:88;"
+                        " the StreamSpeech recipe uses 1)")
     p.add_argument("--encoder-layers", type=int, default=12)
     p.add_argument("--dropout", type=float, default=None,
                    help="override model dropout everywhere (fairseq "
@@ -140,6 +146,7 @@ def build_model_config(args, dicts) -> StreamSpeechConfig:
         cfg.encoder.remat = True
         cfg.unit_decoder.remat = True
     cfg.unit_decoder.ctc_upsample_rate = args.ctc_upsample_rate
+    cfg.unit_decoder.n_frames_per_step = args.n_frames_per_step
     cfg.unit_decoder.vocab_size = len(dicts["units"])
     cfg.mt_decoder.vocab_size = len(dicts["target_unigram"])
     cfg.source_unigram_vocab = len(dicts["source_unigram"])
@@ -173,7 +180,8 @@ def load_task(args):
                 targets[name] = SpeechToSpeechDataset.load_multitask_targets(
                     str(t_path), dicts[name])
         return SpeechToSpeechDataset(str(manifest), unit_dict, data_cfg,
-                                     targets, split=split)
+                                     targets, split=split,
+                                     n_frames_per_step=args.n_frames_per_step)
 
     return dicts, make_split(args.train_subset), make_split(args.valid_subset)
 

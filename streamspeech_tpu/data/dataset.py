@@ -103,8 +103,6 @@ class SpeechToSpeechDataset:
                 utt_id = row[col["id"]]
                 units = [unit_dict.index(u)
                          for u in row[col["tgt_audio"]].split()] + [EOS]
-                if n_frames_per_step > 1:
-                    units = self._pack_units(units)
                 item = S2SItem(
                     index=len(self.items), utt_id=utt_id,
                     audio_ref=row[col["src_audio"]],
@@ -120,10 +118,15 @@ class SpeechToSpeechDataset:
         """Stack n_frames_per_step consecutive unit ids into one packed id
         (`fairseq/fairseq/data/audio/speech_to_speech_dataset.py:88-104`):
         the trailing EOS is kept unpacked; each group packs first-unit-most-
-        significant with offset 4 and V = len(dict) - 4. The reference
-        requires the unit count to divide n; real unit streams don't, so the
-        tail group is right-padded by repeating the last unit (documented
-        deviation — the alternative is dropping tail units)."""
+        significant with offset 4 and V = len(dict) - 4. Packed ids feed ONLY
+        the AR decoder input (`prev_output_tokens_unit`, reference
+        `_collate_target` :164-171) — the CTC/CE TARGET stays RAW (:156-162);
+        the unit decoders emit n frames of raw-vocab logits per position
+        (`ctc_transformer_unit_decoder.py:95-106`), so a packed target would
+        silently gather all-zero one-hot rows. The reference requires the
+        unit count to divide n; real unit streams don't, so the tail group is
+        right-padded by repeating the last unit (documented deviation — the
+        alternative is dropping tail units)."""
         n = self.n_frames_per_step
         v = len(self.unit_dict) - 4
         raw = np.asarray(units_with_eos[:-1], np.int64) - 4
@@ -207,11 +210,22 @@ class SpeechToSpeechDataset:
             return out, lens
 
         units, unit_lens = pad_tokens([it.units for it in items])
+        prev_units = None
+        if self.n_frames_per_step > 1:
+            # AR-decoder teacher input: packed stacked ids, EOS moved to the
+            # beginning (reference `_collate_target`
+            # speech_to_speech_dataset.py:164-171 collate_tokens(...,
+            # move_eos_to_beginning=True)); the CTC target above stays raw
+            prev_units, _ = pad_tokens(
+                [[EOS] + self._pack_units(it.units)[:-1] for it in items])
         prev_mt, _ = pad_tokens([it.mt_text for it in items], prepend_eos=True)
         mt_tgt, _ = pad_tokens([it.mt_text + [EOS] for it in items])
         src_text, src_text_lens = pad_tokens([it.src_text for it in items])
         tgt_text, tgt_text_lens = pad_tokens([it.tgt_text for it in items])
+        extra = ({} if prev_units is None
+                 else {"prev_output_tokens_unit": prev_units})
         return {
+            **extra,
             "id": np.asarray([it.index for it in items]),
             "src_tokens": src,
             "src_lengths": src_len,

@@ -69,9 +69,13 @@ def test_dataset_collation(tmp_path):
 
 
 def test_dataset_stacked_units(tmp_path):
-    """n_frames_per_step > 1 packs target units at load
-    (speech_to_speech_dataset.py:88 pack_units): first-unit-most-significant
-    base-V digits, EOS kept unpacked, and unpack_units inverts it."""
+    """n_frames_per_step > 1, reference `_collate_target` semantics
+    (speech_to_speech_dataset.py:154-176): the CTC/CE TARGET stays RAW
+    (:156-162 — the unit decoders emit n raw-vocab frames per position, so a
+    packed target would be out of logits range); only the AR teacher input
+    `prev_output_tokens_unit` is packed (:164-171, pack_units :88 first-unit-
+    most-significant base-V digits, collate_tokens move_eos_to_beginning=True
+    so EOS leads), and unpack_units inverts the packing."""
     from streamspeech_tpu.models.transformer import unpack_units
 
     make_manifest(tmp_path)
@@ -81,16 +85,27 @@ def test_dataset_stacked_units(tmp_path):
     ds2 = SpeechToSpeechDataset(str(tmp_path / "train.tsv"), unit_dict,
                                 n_frames_per_step=2)
     v = len(unit_dict) - 4
+    # items keep RAW units regardless of n_frames_per_step
     for it_raw, it_p in zip(raw_ds.items, ds2.items):
-        raw = np.asarray(it_raw.units[:-1]) - 4     # 10 units, even count
-        packed = np.asarray(it_p.units)
-        assert packed[-1] == it_raw.units[-1]        # EOS preserved
-        assert len(packed) == 6                       # 5 packed + eos
+        assert it_p.units == it_raw.units
+
+    idx = np.arange(len(ds2))
+    batch = ds2.collate(idx)
+    raw_batch = raw_ds.collate(idx)
+    # target side identical to the unpacked dataset (raw ids + eos)
+    assert batch["target_units"].tolist() == raw_batch["target_units"].tolist()
+    assert (batch["target_unit_lengths"]
+            == raw_batch["target_unit_lengths"]).all()
+    assert "prev_output_tokens_unit" not in raw_batch
+    prev = batch["prev_output_tokens_unit"]
+    assert (prev[:, 0] == 2).all()                    # EOS moved to beginning
+    for i, it in enumerate(ds2.items):
+        raw = np.asarray(it.units[:-1]) - 4           # 10 units, even count
         expect = raw.reshape(-1, 2)[:, 0] * v + raw.reshape(-1, 2)[:, 1] + 4
-        assert packed[:-1].tolist() == expect.tolist()
+        assert prev[i, 1:1 + len(expect)].tolist() == expect.tolist()
         # decode side: unpack restores the original unit stream
         import jax.numpy as jnp
-        un = unpack_units(jnp.asarray(packed[:-1]), 2, v)
+        un = unpack_units(jnp.asarray(prev[i, 1:1 + len(expect)]), 2, v)
         assert np.asarray(un).tolist() == (raw + 4).tolist()
     # odd tail: 3 raw units with n=2 -> tail padded by repeating the last
     (tmp_path / "odd.tsv").write_text(
@@ -98,5 +113,6 @@ def test_dataset_stacked_units(tmp_path):
         "utt0\tutt0.npy\t40\t7 8 9\t3")
     ds3 = SpeechToSpeechDataset(str(tmp_path / "odd.tsv"), unit_dict,
                                 n_frames_per_step=2)
-    p = np.asarray(ds3.items[0].units)
-    assert p.tolist() == [7 * v + 8 + 4, 9 * v + 9 + 4, 2]
+    assert ds3.items[0].units == [7 + 4, 8 + 4, 9 + 4, 2]
+    p = ds3.collate(np.arange(1))["prev_output_tokens_unit"]
+    assert p[0].tolist() == [2, 7 * v + 8 + 4, 9 * v + 9 + 4]

@@ -116,3 +116,41 @@ def test_unit_decoder_n_frames_per_step():
     logits, feats = dec.apply(variables, enc)
     # T2U 4 → upsample 12 → n_frames 2 → 24 output frames
     assert logits.shape == (1, 24, 20)
+
+
+def test_streamspeech_stacked_units_end_to_end():
+    """Full StreamSpeech model + criterion with n_frames_per_step=2: the unit
+    decoder emits T_up*2 RAW-vocab frames and the unit CTC trains on the RAW
+    target (reference `_collate_target` keeps target unpacked,
+    speech_to_speech_dataset.py:156-162; packed ids are only the AR teacher
+    input). Guards the r5 dataset fix: a packed target would silently gather
+    all-zero one-hot rows here."""
+    from streamspeech_tpu.models.streamspeech import (StreamSpeechModel,
+                                                      init_params)
+    from streamspeech_tpu.train.criterion import streamspeech_loss
+    from streamspeech_tpu.train.synthetic import synthetic_batch
+
+    cfg = tiny_config()
+    cfg.unit_decoder.n_frames_per_step = 2
+    model = StreamSpeechModel(cfg)
+    variables = init_params(model, jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg, batch=2, frames=64, mt_len=8)
+
+    def loss_fn(params):
+        out = model.apply(
+            {"params": params, **{k: v for k, v in variables.items()
+                                  if k != "params"}},
+            jnp.asarray(batch["src_tokens"]), jnp.asarray(batch["src_lengths"]),
+            jnp.asarray(batch["prev_output_tokens_mt"]),
+            chunk_size=8, conv_chunk_size=8)
+        t_up = batch["prev_output_tokens_mt"].shape[1] * \
+            cfg.unit_decoder.ctc_upsample_rate
+        assert out["unit_logits"].shape == (
+            2, t_up * 2, cfg.unit_decoder.vocab_size)
+        m = streamspeech_loss(out, batch, cfg.unit_decoder.vocab_size - 1)
+        return m["unit_ctc_loss"] / m["sample_size"].astype(jnp.float32)
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["params"])
+    assert np.isfinite(float(loss)) and float(loss) > 0.0
+    g = grads["unit_decoder"]["out_proj_n_frames"]["kernel"]
+    assert float(jnp.abs(g).max()) > 0.0, "stacked projection got no gradient"
