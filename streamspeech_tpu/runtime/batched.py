@@ -33,8 +33,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from streamspeech_tpu.models.layers import KVCache
-from streamspeech_tpu.models.streamspeech import StreamSpeechModel
 from streamspeech_tpu.ops.ctc import ctc_collapse
 from streamspeech_tpu.runtime.session import EOS, PAD, StreamSpeechEngine, _bucket
 
@@ -58,21 +56,17 @@ class BatchedStreamingSession:
         self.batch = batch
         model, v = engine.model, engine.variables
         c = model.cfg
-        self.enc_state = model.apply(
-            v, batch, engine.max_enc_frames,
-            method=StreamSpeechModel.encoder_stream_init)
-        self.enc_buf = jnp.zeros((batch, engine.max_enc_frames,
-                                  c.encoder.embed_dim))
+        # all fresh device state in ONE jitted dispatch (the engine's shared
+        # _session_init, batch-parameterized) — the previous eager per-layer
+        # construction issued hundreds of tiny ops, each a tunnel round trip
+        (self.enc_state, self.enc_buf, mt_self,
+         mt_cross) = engine._session_init(v, batch=batch,
+                                          per_example_index=True)
         self.enc_len = np.zeros((batch,), np.int64)   # true frames per stream
         self.asr_ids: List[List[int]] = [[] for _ in range(batch)]
         self.st_ids: List[List[int]] = [[] for _ in range(batch)]
-        dc = c.mt_decoder
-        h, dh = dc.attention_heads, dc.embed_dim // dc.attention_heads
-        self.mt_self = [KVCache.create(batch, engine.max_mt_tokens, h, dh,
-                                       per_example_index=True)
-                        for _ in range(dc.layers)]
-        self.mt_cross = [KVCache.create(batch, engine.max_enc_frames, h, dh)
-                         for _ in range(dc.layers)]
+        self.mt_self = list(mt_self)
+        self.mt_cross = list(mt_cross)
         self.mt_tokens: List[List[int]] = [[] for _ in range(batch)]
         self.feat_dim = c.encoder.input_feat_per_channel
         self.pending = [np.zeros((0, self.feat_dim), np.float32)

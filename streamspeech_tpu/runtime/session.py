@@ -106,20 +106,24 @@ class StreamSpeechEngine:
 
         self._mt_fill_cross = mt_fill_cross
 
-        @jax.jit
-        def session_init(variables):
+        @functools.partial(jax.jit,
+                           static_argnames=("batch", "per_example_index"))
+        def session_init(variables, batch=1, per_example_index=False):
             # fresh per-session device state in ONE dispatch: the unjitted
             # version (eager encoder_stream_init + per-layer KVCache zeros)
             # issues hundreds of tiny eager ops, each a tunnel round trip —
-            # it dominated new_session() latency and a chunk of warmup
-            enc_state = model.apply(variables, 1, max_enc_frames,
+            # it dominated new_session() latency and a chunk of warmup.
+            # `batch`/`per_example_index` serve BatchedStreamingSession (B
+            # lockstep streams; per-example MT self-cache decode positions)
+            enc_state = model.apply(variables, batch, max_enc_frames,
                                     method=StreamSpeechModel.encoder_stream_init)
-            enc_buf = jnp.zeros((1, max_enc_frames, c.encoder.embed_dim))
+            enc_buf = jnp.zeros((batch, max_enc_frames, c.encoder.embed_dim))
             dc = c.mt_decoder
             h, dh = dc.attention_heads, dc.embed_dim // dc.attention_heads
-            mt_self = [KVCache.create(1, max_mt_tokens, h, dh)
+            mt_self = [KVCache.create(batch, max_mt_tokens, h, dh,
+                                      per_example_index=per_example_index)
                        for _ in range(dc.layers)]
-            mt_cross = [KVCache.create(1, max_enc_frames, h, dh)
+            mt_cross = [KVCache.create(batch, max_enc_frames, h, dh)
                         for _ in range(dc.layers)]
             return enc_state, enc_buf, mt_self, mt_cross
 
